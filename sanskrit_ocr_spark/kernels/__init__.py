@@ -1,0 +1,27 @@
+"""Pure-Python extraction kernels (no Spark imports).
+
+These are the single source of truth for extraction semantics: the golden
+fixtures are computed by calling them directly, and the Spark pipeline runs
+the very same functions inside Arrow-batched pandas UDFs — so byte-identity
+between pipeline output and goldens is identity of code, not a re-derivation.
+"""
+
+from sanskrit_ocr_spark.kernels.devanagari import (
+    devanagari_post,
+    filter_devanagari,
+    grapheme_clusters,
+    sentence_spans,
+)
+from sanskrit_ocr_spark.kernels.htmlx import extract_html
+from sanskrit_ocr_spark.kernels.pdfish import extract_pdf_layout
+from sanskrit_ocr_spark.kernels.page import extract_page
+
+__all__ = [
+    "devanagari_post",
+    "filter_devanagari",
+    "grapheme_clusters",
+    "sentence_spans",
+    "extract_html",
+    "extract_pdf_layout",
+    "extract_page",
+]

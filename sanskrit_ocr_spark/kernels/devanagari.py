@@ -1,0 +1,151 @@
+"""Devanagari-aware text post-processing.
+
+Re-implements, from its observable behavior, the text semantics of the
+reference pipeline (KhoomeiK/sanskrit-ocr):
+
+* the keep-only-``[\\u0900-\\u097F ]`` content filter
+  (reference ``datagen/h5_to_parquet.py:17-21``);
+* newline flattening before layout (``datagen/augmentations/render_text.py:158``);
+* danda sentence delimiting — single danda U+0964 between sentences,
+  ``।।`` double-danda document terminator
+  (``datagen/augmentations/generate_dataset.py:30``) **and** the real
+  double-danda ॥ U+0965 used by the demo text
+  (``datagen/augmentations/render_text.py:485``) — both are treated as
+  sentence delimiters here;
+* plus rebuild-mandated additions (BASELINE.json north_star): Unicode NFC
+  normalization and conjunct-safe grapheme clustering.
+
+Everything here is pure CPython over ``str`` — no Spark, no third-party deps —
+so the exact same bytes are produced by the golden-fixture generator and by
+the pandas-UDF pipeline (which calls these functions on whole Arrow batches
+via ``pandas.Series.map``-free vectorized helpers in
+``sanskrit_ocr_spark/extract/pipeline.py``).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# Keep only the Devanagari block U+0900–U+097F and ASCII space; delete every
+# maximal run of anything else. Exact regex of the reference
+# (h5_to_parquet.py:18). Compiled once per interpreter (worker) — same hoisting
+# trick as the reference.
+_NON_DEV_OR_SPACE = re.compile(r"[^ऀ-ॿ ]+")
+
+# Sentence delimiters: runs of danda U+0964 and/or double danda U+0965.
+_DANDA_RUN = re.compile(r"[।॥]+")
+
+_VIRAMA = "्"
+_ZWNJ = "‌"
+_ZWJ = "‍"
+
+
+def filter_devanagari(text: str) -> str:
+    """Delete every maximal non-[Devanagari|space] run, then strip.
+
+    Byte-compatible with the reference's ``filter_devanagari``
+    (h5_to_parquet.py:20-21): keeps the whole U+0900–U+097F block (letters,
+    matras, digits ०-९, danda ।/॥) plus ASCII space; interior space runs are
+    preserved verbatim.
+    """
+    return _NON_DEV_OR_SPACE.sub("", text).strip()
+
+
+def _is_dev_consonant(ch: str) -> bool:
+    """Devanagari consonants that a preceding virama conjoins with.
+
+    Covers the core consonant range क..ह (U+0915–U+0939) and the nukta
+    consonants क़..य़ (U+0958–U+095F).
+    """
+    cp = ord(ch)
+    return 0x0915 <= cp <= 0x0939 or 0x0958 <= cp <= 0x095F
+
+
+def grapheme_clusters(text: str) -> list[str]:
+    """Split into conjunct-safe grapheme clusters (UAX-29 subset).
+
+    Implements the subset of extended-grapheme-cluster rules that matters for
+    Devanagari, deterministically and without external libraries:
+
+    * combining marks (general category Mn/Mc/Me — matras, anusvara, nukta,
+      virama, vedic signs) extend the current cluster (GB9/GB9a);
+    * ZWJ/ZWNJ extend the current cluster (GB9, conjunct control);
+    * a consonant immediately following a virama (optionally with ZWJ/ZWNJ in
+      between) continues the cluster — the Indic-conjunct-break rule (GB9c),
+      so क्ष / क्‍ष / क्‌ष are each ONE cluster and conjuncts are never split.
+
+    Spaces and danda are their own single-char clusters.
+    """
+    clusters: list[str] = []
+    cur = ""
+    pending_linker = False  # last scalar sequence ends in virama (+ZWJ/ZWNJ)
+    for ch in text:
+        if not cur:
+            cur = ch
+        elif (
+            unicodedata.category(ch) in ("Mn", "Mc", "Me")
+            or ch in (_ZWJ, _ZWNJ)
+        ):
+            cur += ch
+        elif pending_linker and _is_dev_consonant(ch):
+            cur += ch
+        else:
+            clusters.append(cur)
+            cur = ch
+        if ch == _VIRAMA:
+            pending_linker = True
+        elif ch in (_ZWJ, _ZWNJ):
+            pass  # linker state survives join controls
+        else:
+            pending_linker = False
+    if cur:
+        clusters.append(cur)
+    return clusters
+
+
+def grapheme_count(text: str) -> int:
+    """Count non-space grapheme clusters of ``text``."""
+    return sum(1 for c in grapheme_clusters(text) if c != " ")
+
+
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Danda-based sentence spans as ``(start, end)`` offsets into ``text``.
+
+    A sentence is a maximal segment between danda runs (``।+`` or ``॥``),
+    reported with surrounding spaces trimmed and the delimiter excluded.
+    Empty segments (e.g. between ``।`` and ``॥``) produce no span. Offsets
+    are Python ``str`` indices (code points) into the exact input string.
+    """
+    spans: list[tuple[int, int]] = []
+
+    def _push(lo: int, hi: int) -> None:
+        while lo < hi and text[lo] == " ":
+            lo += 1
+        while hi > lo and text[hi - 1] == " ":
+            hi -= 1
+        if hi > lo:
+            spans.append((lo, hi))
+
+    pos = 0
+    for m in _DANDA_RUN.finditer(text):
+        _push(pos, m.start())
+        pos = m.end()
+    _push(pos, len(text))
+    return spans
+
+
+def devanagari_post(text: str) -> tuple[str, list[tuple[int, int]], int]:
+    """Full Devanagari post-processing: NFC → flatten newlines → content
+    filter → sentence spans + grapheme count.
+
+    Returns ``(clean_text, sentence_spans, n_graphemes)``. Newlines become
+    single spaces *before* the filter (mirroring the reference's layout
+    tokenizer ``text.strip().replace('\\n',' ')``, render_text.py:158) so that
+    line boundaries collapse to word boundaries instead of gluing words.
+    Idempotent: ``devanagari_post(clean)[0] == clean``.
+    """
+    t = unicodedata.normalize("NFC", text)
+    t = t.replace("\n", " ")
+    t = filter_devanagari(t)
+    return t, sentence_spans(t), grapheme_count(t)
