@@ -1,0 +1,72 @@
+"""End-to-end extraction job: resume → extract → commit (+ lineage).
+
+The Spark re-expression of reference entry point E1
+(``datagen/translate_bookcorpus.py`` main loop, SURVEY.md §3):
+
+1. resume probe = LEFT ANTI JOIN of pages against committed extracted urls
+   (replaces offset-skip, translate_bookcorpus.py:43-44,79);
+2. one ``mapInPandas`` extraction stage (replaces the 1024-prompt GPU loop);
+3. atomic MERGE-on-url commit of results + a lineage row per
+   (bucket, status) — no silent drops (north_rule).
+
+Designed so a mid-job kill loses at most the uncommitted batch; re-running
+converges to the same table (tests/test_icelite_resume.py).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from sanskrit_ocr_spark.extract.pipeline import (
+    EXTRACTED_SCHEMA,
+    extract_pages,
+    lineage_rows,
+)
+from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+LINEAGE_SCHEMA = StructType([
+    StructField("snapshot_id", LongType(), False),
+    StructField("partition_hash", LongType(), False),
+    StructField("doc_count", LongType(), False),
+    StructField("fail_code", StringType(), False),
+    StructField("fail_count", LongType(), False),
+    StructField("committed_at", TimestampType(), False),
+])
+
+
+def extracted_table(spark: SparkSession, root: str) -> IceliteTable:
+    return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA)
+
+
+def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
+    return IceliteTable(spark, f"{root}/lineage", LINEAGE_SCHEMA)
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
+                   salt_partitions: int | None = None,
+                   committed_at: datetime | None = None) -> dict:
+    """Process every page whose url is not yet in the extracted table.
+
+    Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
+    twice with the same input inserts nothing the second time.
+    """
+    ext = extracted_table(spark, root)
+    lin = lineage_table(spark, root)
+
+    todo = pages.join(ext.read().select("url"), "url", "left_anti")
+    extracted = extract_pages(todo, salt_partitions=salt_partitions)
+    # One pass is consumed twice (commit + lineage): cache the UDF output so
+    # the expensive parse never runs twice per page.
+    extracted = extracted.cache()
+    try:
+        sid, inserted = ext.merge_on_key(extracted, "url", order_col="warc_ts")
+        ts = committed_at or datetime.now(timezone.utc)
+        lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
+        return {"snapshot_id": sid, "inserted": inserted}
+    finally:
+        extracted.unpersist()

@@ -1,0 +1,139 @@
+"""The Spark extraction stage — reference E1/E2 re-expressed Spark-first.
+
+Shape (SURVEY.md §2.10 M2): one ``mapInPandas`` stage over Arrow batches of
+``(url, warc_ts, html)``; the per-batch body runs the pure kernels from
+``sanskrit_ocr_spark.kernels`` — the same functions that computed the golden
+fixtures, so byte-identity is identity of code. No row-at-a-time Python UDFs
+anywhere; batching is Spark's Arrow pipeline (the rebuild analog of the
+reference's 1024-prompt GPU batches, translate_bookcorpus.py:83-91,139).
+
+Scale posture:
+
+* **column pruning** — the stage selects exactly ``url, warc_ts, html``
+  before the UDF so a scan over the wide pages table prunes to 3 columns;
+* **salted repartition** — host-skewed corpora (one mega-host) are spread by
+  ``xxhash64(url, warc_ts)`` before the expensive map; AQE skew handling
+  covers joins, not map stages, so this is explicit (SURVEY.md §4);
+* **bucket column** — ``part_hash = pmod(xxhash64(url), N_BUCKETS)`` is
+  computed JVM-side (built-in ``xxhash64``) and doubles as the lineage
+  partition key and the storage bucketing key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sanskrit_ocr_spark.kernels.page import extract_page
+
+N_BUCKETS = 1024
+
+SENTENCE_TYPE = ArrayType(
+    StructType([
+        StructField("start", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+    ]),
+    containsNull=False,
+)
+
+# Explicit output schema — never inferred (the reference's first-chunk schema
+# inference, h5_to_parquet.py:62-66, is the footgun SURVEY.md §1.3 bans).
+UDF_OUT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("text", StringType(), False),
+    StructField("sentences", SENTENCE_TYPE, False),
+    StructField("n_graphemes", LongType(), False),
+    StructField("status", StringType(), False),
+])
+
+EXTRACTED_SCHEMA = StructType(
+    UDF_OUT_SCHEMA.fields + [StructField("part_hash", LongType(), False)]
+)
+
+PAGES_INPUT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+])
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batch body: whole-batch extraction via the pure kernels."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        texts: list[str] = []
+        spans: list[list[dict]] = []
+        counts: list[int] = []
+        statuses: list[str] = []
+        for payload in pdf["html"]:
+            if payload is not None and not isinstance(payload, bytes):
+                payload = bytes(payload)
+            t, sp, n, st = extract_page(payload)
+            texts.append(t)
+            spans.append([{"start": a, "end": b} for a, b in sp])
+            counts.append(n)
+            statuses.append(st)
+        yield pd.DataFrame({
+            "url": pdf["url"].to_numpy(),
+            "warc_ts": pdf["warc_ts"].to_numpy(),
+            "text": texts,
+            "sentences": spans,
+            "n_graphemes": pd.array(counts, dtype="int64"),
+            "status": statuses,
+        })
+
+
+def extract_pages(pages: DataFrame, salt_partitions: int | None = None) -> DataFrame:
+    """``pages(url, warc_ts, html, …)`` → extracted rows (EXTRACTED_SCHEMA).
+
+    ``salt_partitions``: when set, repartition the pruned input on
+    ``xxhash64(url, warc_ts)`` into that many partitions before the UDF —
+    spreads hot hosts / duplicate urls across tasks. Leave ``None`` to keep
+    the scan's natural partitioning (no extra shuffle).
+    """
+    pruned = pages.select("url", "warc_ts", "html")
+    if salt_partitions:
+        pruned = pruned.repartition(salt_partitions,
+                                    F.xxhash64("url", "warc_ts"))
+    out = pruned.mapInPandas(_extract_batches, schema=UDF_OUT_SCHEMA)
+    return out.withColumn(
+        "part_hash", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("long")
+    )
+
+
+def lineage_rows(extracted: DataFrame, snapshot_id: int,
+                 committed_at) -> DataFrame:
+    """Per-partition lineage: one row per (part_hash, status) with the
+    partition's total doc count — FIXTURES.md §A3 / north_rule metrics.
+
+    Pure relational: partial aggregation is map-side (free), the single
+    shuffle is on (part_hash, status).
+    """
+    per_status = (extracted.groupBy("part_hash", "status")
+                  .agg(F.count("*").alias("fail_count")))
+    per_part = (extracted.groupBy("part_hash")
+                .agg(F.count("*").alias("doc_count")))
+    return (per_status.join(per_part, "part_hash")
+            .select(
+                F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+                F.col("part_hash").alias("partition_hash"),
+                F.col("doc_count"),
+                F.col("status").alias("fail_code"),
+                F.col("fail_count"),
+                F.lit(committed_at).cast("timestamp").alias("committed_at"),
+            ))

@@ -1,0 +1,127 @@
+"""icelite — a minimal snapshot/commit table layer over parquet.
+
+This sandbox ships no Iceberg runtime jars, so the Iceberg discipline the
+north_rule requires (snapshot isolation, atomic commits, MERGE-on-url
+idempotent resume) is provided by this small, self-contained layer with the
+same *semantics*, behind one interface. On a real cluster the class is a
+drop-in seam: replace with ``spark.read.format("iceberg")`` /
+``df.writeTo(...).append()`` / ``MERGE INTO`` — every call site keeps its
+shape.
+
+Layout on disk::
+
+    <root>/
+      data/commit-<n>/part-*.parquet     one directory per commit
+      _icelite/commits/<n>.json          manifest: cumulative file list
+      _icelite/HEAD                      current snapshot id (atomic rename)
+
+Commit protocol (single-writer, crash-safe):
+
+1. write data files to ``data/commit-<n>/`` (invisible until committed);
+2. write ``_icelite/commits/<n>.json`` listing parent + cumulative files;
+3. atomically rename a temp HEAD → ``_icelite/HEAD``.
+
+A crash between any steps leaves HEAD pointing at the previous snapshot;
+orphaned data directories are ignored by readers — exactly Iceberg's
+"readers never see uncommitted files" contract. This is what makes the
+kill-and-resume test (tests/test_icelite_resume.py) honest: re-running after
+a mid-job kill re-extracts only pages whose url is absent from the last
+*committed* snapshot (reference resume semantics,
+``datagen/translate_bookcorpus.py:37-50`` — checkpoint = count of committed
+sink rows — upgraded from offset-skip to key-based anti-join, SURVEY.md J3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+
+class IceliteTable:
+    def __init__(self, spark: SparkSession, root: str, schema: StructType):
+        self.spark = spark
+        self.root = root
+        self.schema = schema
+        os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+    def _head_path(self) -> str:
+        return os.path.join(self.root, "_icelite", "HEAD")
+
+    def snapshot_id(self) -> int:
+        """Current committed snapshot id; 0 = empty table."""
+        try:
+            with open(self._head_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, sid: int) -> dict:
+        with open(os.path.join(self.root, "_icelite", "commits",
+                               f"{sid}.json")) as f:
+            return json.load(f)
+
+    def committed_files(self) -> list[str]:
+        sid = self.snapshot_id()
+        return self._manifest(sid)["files"] if sid else []
+
+    # -- read -----------------------------------------------------------------
+    def read(self) -> DataFrame:
+        files = self.committed_files()
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*files)
+
+    # -- write ----------------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        """Atomically append ``df``; returns the new snapshot id."""
+        parent = self.snapshot_id()
+        sid = parent + 1
+        data_dir = os.path.join(self.root, "data", f"commit-{sid}")
+        df.write.mode("overwrite").parquet(data_dir)
+        new_files = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        files = (self._manifest(parent)["files"] if parent else []) + sorted(new_files)
+        manifest = {"snapshot_id": sid, "parent": parent, "files": files}
+        mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        # atomic HEAD swing
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._head_path())
+        return sid
+
+    def merge_on_key(self, df: DataFrame, key: str,
+                     order_col: str | None = None) -> tuple[int, int]:
+        """``MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED THEN
+        INSERT`` — the idempotent-resume checkpoint (north_rule; SURVEY.md J3).
+
+        Within-batch duplicate keys are resolved first-wins by ``order_col``
+        (deterministic — the reference's stream-order first-wins semantics,
+        h5_to_parquet.py:45-48, made key-based). The anti-join's broadcast vs
+        sort-merge choice is left to AQE.
+        """
+        if order_col:
+            w = Window.partitionBy(key).orderBy(F.col(order_col).asc(),
+                                                F.col(key).asc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            df = df.dropDuplicates([key])
+        existing = self.read().select(key)
+        fresh = df.join(existing, key, "left_anti")
+        inserted = fresh.count()
+        sid = self.append(fresh)
+        return sid, inserted

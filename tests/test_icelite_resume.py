@@ -1,0 +1,86 @@
+"""Resume-equivalence (SURVEY.md §5.3): run-to-completion == kill-after-k-
+commits + resume. Exercises the MERGE-on-url checkpoint (J3) and the atomic
+commit protocol."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+from sanskrit_ocr_spark.extract.job import (
+    extracted_table,
+    lineage_table,
+    run_extraction,
+)
+
+N = 200
+TS = datetime(2025, 7, 4)
+
+
+def _pages(spark, lo, hi):
+    return spark.createDataFrame(pages_pandas(lo, hi - lo), schema=PAGES_SCHEMA)
+
+
+def test_resume_equivalence(spark, tmp_path):
+    one_shot = str(tmp_path / "one")
+    resumed = str(tmp_path / "two")
+
+    r1 = run_extraction(spark, _pages(spark, 0, N), one_shot, committed_at=TS)
+
+    # "killed" run: first half committed, then the full input re-submitted
+    run_extraction(spark, _pages(spark, 0, N // 2), resumed, committed_at=TS)
+    r2 = run_extraction(spark, _pages(spark, 0, N), resumed, committed_at=TS)
+
+    a = extracted_table(spark, one_shot).read()
+    b = extracted_table(spark, resumed).read()
+
+    # same key set, no duplicate urls anywhere
+    assert a.count() == b.count()
+    assert a.select("url").distinct().count() == a.count()
+    assert b.select("url").distinct().count() == b.count()
+
+    # byte-identical text per url across the two histories
+    joined = (a.select("url", F.col("text").alias("ta"))
+              .join(b.select("url", F.col("text").alias("tb")), "url"))
+    assert joined.filter(F.col("ta") != F.col("tb")).count() == 0
+    assert joined.count() == a.count()
+
+    # duplicate-url pages collapse: 2 dup urls per 100-row block
+    assert r1["inserted"] == N - 2 * (N // 100)
+    assert r2["snapshot_id"] == 2
+
+
+def test_rerun_inserts_nothing(spark, tmp_path):
+    root = str(tmp_path / "idem")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    r = run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    assert r["inserted"] == 0
+
+
+def test_lineage_accumulates(spark, tmp_path):
+    root = str(tmp_path / "lin")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    run_extraction(spark, _pages(spark, 100, 200), root, committed_at=TS)
+    lin = lineage_table(spark, root).read()
+    # every committed batch contributed lineage rows under its snapshot id
+    sids = {r["snapshot_id"] for r in lin.select("snapshot_id").distinct().collect()}
+    assert sids == {1, 2}
+    # first batch's lineage covers all 100 input pages (including failures)
+    n1 = (lin.filter(F.col("snapshot_id") == 1)
+          .agg(F.sum("fail_count").alias("n")).collect()[0]["n"])
+    assert n1 == 100
+
+
+def test_crash_before_head_swing_is_invisible(spark, tmp_path):
+    """Data files written without a HEAD update must not be readable."""
+    import os
+    root = str(tmp_path / "crash")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    n_before = t.read().count()
+    # simulate a crash: orphan data directory + manifest, HEAD not swung
+    os.makedirs(os.path.join(t.root, "data", "commit-99"), exist_ok=True)
+    with open(os.path.join(t.root, "_icelite", "commits", "99.json"), "w") as f:
+        f.write('{"snapshot_id": 99, "parent": 1, "files": ["/nonexistent"]}')
+    assert t.read().count() == n_before
