@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's E2
+clean→filter→dedup→count path, SURVEY.md §3) on sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus
+the training-data extras; the driver compares each against DuckDB at
+sf0.01 (row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -12,27 +12,58 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's h5→parquet finishing path (E2) on the
+    documents table — clean (P1 analog) → empty-filter (F1) → first-wins
+    dedup (D1) → grouped counts + token sums (A1/A3)."""
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    clean = F.trim(F.regexp_replace("text", "[^a-z ]+", ""))
+    w = Window.partitionBy("clean").orderBy(F.col("doc_id").asc())
+    return (docs
+            .select("doc_id", "source", clean.alias("clean"))
+            .filter(F.length("clean") > 0)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .groupBy("source")
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum(F.size(F.split(F.col("clean"), " +")).cast("long"))
+                 .alias("n_tokens")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sanskrit_ocr_spark.ops import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = registry()
+
+    # Extraction-pipeline entries (not SQL-expressible → rows-only checks;
+    # byte-identity vs pure-kernel goldens is asserted by pytest instead).
+    def x1_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sanskrit_ocr_spark.datagen.pages import pages_df
+        from sanskrit_ocr_spark.extract.pipeline import extract_pages
+        return extract_pages(pages_df(spark, 500), salt_partitions=8)
+
+    def x2_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from datetime import datetime
+        from sanskrit_ocr_spark.datagen.pages import pages_df
+        from sanskrit_ocr_spark.extract.pipeline import extract_pages, lineage_rows
+        ext = extract_pages(pages_df(spark, 500))
+        return lineage_rows(ext, snapshot_id=1,
+                            committed_at=datetime(2025, 7, 4))
+
+    q = dict(q)
+    q["x1_extract_pages"] = x1_extract_pages
+    q["x2_lineage"] = x2_lineage
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sanskrit_ocr_spark.ops import registry
+
+    _, o = registry()
+    return dict(o)

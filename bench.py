@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
+plus the extraction pipeline itself (the north metric) over a seeded
+synthetic pages table materialized to parquet first so datagen cost never
+pollutes extraction timing.
+
+Output: ``{"metric": "suite_seconds", "value": <total>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <sf>, "extract_docs_per_sec": N, ...}``
+
+Scaling-efficiency evidence (BASELINE.md: local[8] vs local[32]) is produced
+by ``BENCH/scaling.py``, not here — this file is the per-round driver hook.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+EXTRACT_ROWS = int(os.environ.get("BENCH_EXTRACT_ROWS", "40000"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from sanskrit_ocr_spark.conf import build_spark
+    from sanskrit_ocr_spark.datagen.pages import pages_df
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+    from sanskrit_ocr_spark.ops import registry
+
+    spark = build_spark(app="bench", master=f"local[{cpus}]",
+                        shuffle_partitions=cpus,
+                        extra={"spark.ui.enabled": "false",
+                               "spark.driver.memory": "16g"})
+    queries, _ = registry()
+    headline = [
+        "p1_content_filter", "d1_dedup_first_wins", "q1_pricing_summary",
+        "q3_top_revenue", "j_broadcast_dims", "w2_sessionize",
+        "dedup_exact_hash", "dedup_minhash_lsh", "ann_cosine_topk",
+        "ts_fingerprint",
+    ]
+
+    timings: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        # Materialize the synthetic pages corpus (datagen excluded from
+        # extraction timing).
+        pages_path = os.path.join(tmp, "pages")
+        pages_df(spark, EXTRACT_ROWS, n_partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(pages_path)
+
+        t0 = time.perf_counter()
+        n_extracted = extract_pages(
+            spark.read.parquet(pages_path)).count()
+        dt = time.perf_counter() - t0
+        timings["extract_pages"] = round(dt, 3)
+        extract_docs_per_sec = round(n_extracted / dt, 1)
+
+        for name in headline:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "extract_rows": n_extracted,
+            "extract_docs_per_sec": extract_docs_per_sec,
+            "cpus": cpus,
+        }))
+        return 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,12 +101,23 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_pages(pages: DataFrame, salt_partitions: int | None = None) -> DataFrame:
     """``pages(url, warc_ts, html, …)`` → extracted rows (EXTRACTED_SCHEMA).
 
-    ``salt_partitions``: when set, repartition the pruned input on
-    ``xxhash64(url, warc_ts)`` into that many partitions before the UDF —
-    spreads hot hosts / duplicate urls across tasks. Leave ``None`` to keep
-    the scan's natural partitioning (no extra shuffle).
+    ``salt_partitions``: width of the salted repartition on
+    ``xxhash64(url, warc_ts)`` before the UDF — spreads hot hosts /
+    duplicate urls across tasks AND guarantees the expensive map stage gets
+    full parallelism even when the scan coalesces small files into few
+    splits (``maxPartitionBytes`` packs a whole small test corpus into one
+    task otherwise). Default: ``2 × defaultParallelism``. Pass ``0`` to keep
+    the scan's natural partitioning (right for a 100 TB table whose scan
+    already yields thousands of splits and whose layout is already
+    url-bucketed — saves a full shuffle of the html payloads).
+
+    The explicit partition count is deliberate: AQE does not coalesce a
+    user-specified repartition width, so the map stage's parallelism is
+    stable regardless of input byte size.
     """
     pruned = pages.select("url", "warc_ts", "html")
+    if salt_partitions is None:
+        salt_partitions = 2 * pages.sparkSession.sparkContext.defaultParallelism
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions,
                                     F.xxhash64("url", "warc_ts"))

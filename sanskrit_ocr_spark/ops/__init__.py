@@ -1,0 +1,24 @@
+"""Operator library — the driver-contract queries.
+
+Each submodule exposes ``QUERIES`` (name → callable(spark, sf_dir) →
+DataFrame) and ``ORACLES`` (name → equivalent DuckDB SQL, omitted for ops
+that aren't SQL-expressible). ``registry()`` merges them all;
+``__spark_entry__.py`` re-exports that merge as the driver contract.
+
+Naming convention follows SURVEY.md §2 operator ids (p1=content filter,
+d1=first-wins dedup, j3=resume anti-join, …) plus the training-data-pipeline
+extras (dedup_*, ann_*, ts_* text stats, mm_* multimodal).
+"""
+
+from __future__ import annotations
+
+
+def registry() -> tuple[dict, dict]:
+    from sanskrit_ocr_spark.ops import dedup, multimodal, relational, simsearch, textstats
+
+    queries: dict = {}
+    oracles: dict = {}
+    for mod in (relational, dedup, textstats, simsearch, multimodal):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

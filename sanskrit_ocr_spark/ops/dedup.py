@@ -1,0 +1,256 @@
+"""Deduplication family over the ``documents`` table.
+
+The reference's only dedup is the in-memory exact-text set
+(``h5_to_parquet.py:27,45-48``) — O(#distinct) driver memory, the
+scalability wall SURVEY.md §4 calls out. Here the same semantics and its
+web-scale generalizations, all shuffle-based:
+
+* ``dedup_exact_hash``    — exact dedup by content hash (md5 groupBy);
+* ``dedup_ngram_jaccard`` — exact word-bigram Jaccard pairs (the oracle-
+  checkable ground truth for near-dup);
+* ``dedup_minhash_lsh``   — MinHash signatures + banded LSH bucket join,
+  candidates verified by true Jaccard (rows-only: LSH candidate recall is
+  probabilistic, so no SQL oracle; pytest asserts recall vs the exact op);
+* ``dedup_simhash``       — 64-bit SimHash via a vectorized pandas UDF,
+  Hamming-banded candidate join verified with ``bit_count(xor)``
+  (rows-only for the same reason).
+
+Scale notes: every op is a shingle-explode → shuffle-on-shingle/band →
+pair-group pipeline; nothing is collected to the driver. For 10^12 docs the
+band join is the classic MinHash-LSH layout (band hash = shuffle key), and
+the exact-Jaccard verifier only runs on LSH candidates (tiny fraction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.ops.relational import t
+
+NUM_MINHASH = 16
+# 4 bands × 4 rows: P(candidate | j) = 1-(1-j^4)^4 — ≈0.999 at j=0.95,
+# ≈8e-4 at j=0.12 (the background similarity of the synthetic corpus).
+# Wider bands (8×2) flood the candidate join with low-similarity pairs and
+# turn the verify stage quadratic — measured 58s → ~5s at sf0.1.
+LSH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + exploded distinct word-bigram shingles."""
+    toks = F.split(F.trim(F.col("text")), " +")
+    return (docs
+            .withColumn("toks", toks)
+            .filter(F.size("toks") >= 2)
+            .withColumn("sh", F.explode(F.array_distinct(F.expr(
+                "transform(sequence(1, size(toks)-1),"
+                " i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"
+            ))))
+            .select("doc_id", "sh"))
+
+
+def _shingle_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+
+def _true_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """pairs(a_id,b_id) → + inter, size_a, size_b, jaccard (exact).
+
+    The shingle self-join is restricted to docs that appear in ``pairs``
+    BEFORE joining (semi-join pushdown by hand) — without this the
+    all-pairs shingle join is quadratic in corpus size instead of linear
+    in candidate count.
+    """
+    cand_ids = (pairs.select(F.col("a_id").alias("doc_id"))
+                .union(pairs.select(F.col("b_id").alias("doc_id")))
+                .distinct())
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    a = sh_c.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh_c.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (a.join(b, "sh")
+             .filter(F.col("a_id") < F.col("b_id"))
+             .join(pairs, ["a_id", "b_id"], "left_semi")
+             .groupBy("a_id", "b_id")
+             .agg(F.count("*").alias("inter")))
+    sizes = _shingle_sizes(sh)
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("a_id"),
+                               F.col("n_sh").alias("size_a")), "a_id")
+            .join(sizes.select(F.col("doc_id").alias("b_id"),
+                               F.col("n_sh").alias("size_b")), "b_id")
+            .withColumn("jaccard", F.round(
+                F.col("inter") /
+                (F.col("size_a") + F.col("size_b") - F.col("inter")), 4)))
+
+
+# --- exact dedup by content hash ----------------------------------------------
+
+def dedup_exact_hash(spark, sf):
+    return (t(spark, sf, "documents")
+            .groupBy(F.md5(F.encode("text", "UTF-8")).alias("h"))
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count("*").alias("n_copies")))
+
+
+EXACT_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- exact n-gram Jaccard pairs (oracle ground truth) --------------------------
+
+NGRAM_SUBSET = 300  # exhaustive pair space bounded for the oracle
+
+
+def dedup_ngram_jaccard(spark, sf):
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") < NGRAM_SUBSET)
+    sh = _with_shingles(docs)
+    all_pairs = (sh.select(F.col("doc_id").alias("a_id"), "sh")
+                 .join(sh.select(F.col("doc_id").alias("b_id"), "sh"), "sh")
+                 .filter(F.col("a_id") < F.col("b_id"))
+                 .select("a_id", "b_id").distinct())
+    return (_true_jaccard(sh, all_pairs)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("a_id", "b_id", "inter", "size_a", "size_b", "jaccard"))
+
+
+NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk
+  FROM documents WHERE doc_id < {NGRAM_SUBSET}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(tk) - 1),
+           i -> tk[i] || ' ' || tk[i + 1]))) AS sh
+  FROM toks WHERE len(tk) >= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, inter, sa.n_sh AS size_a, sb.n_sh AS size_b,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + banded LSH (the scale path; rows-only) ---------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → m0..m{NUM_MINHASH-1} MinHash signature via JVM xxhash64."""
+    sh = _with_shingles(docs)
+    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"m{s}")
+            for s in range(NUM_MINHASH)]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH: same band-hash in any band → candidate pair."""
+    rows_per_band = NUM_MINHASH // LSH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    exploded = (sig.select("doc_id", F.explode(bands).alias("bd"))
+                .select("doc_id", F.col("bd.band").alias("band"),
+                        F.col("bd.bh").alias("bh")))
+    a = exploded.select(F.col("doc_id").alias("a_id"), "band", "bh")
+    b = exploded.select(F.col("doc_id").alias("b_id"), "band", "bh")
+    return (a.join(b, ["band", "bh"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+
+
+def dedup_minhash_lsh(spark, sf):
+    docs = t(spark, sf, "documents")
+    cand = lsh_candidates(minhash_signatures(docs))
+    sh = _with_shingles(docs)
+    return (_true_jaccard(sh, cand)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("a_id", "b_id", "jaccard"))
+
+
+# --- SimHash (vectorized pandas UDF + bit_count verify; rows-only) --------------
+
+def _simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens (md5-derived
+    per-token hashes — stable across platforms and workers)."""
+    acc = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    # map to signed int64 range for a LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "simhash": pd.array([_simhash64(s) for s in pdf["text"]],
+                                    dtype="int64"),
+            })
+
+    return (docs.select("doc_id", "text")
+            .mapInPandas(body, schema="doc_id long, simhash long"))
+
+
+def dedup_simhash(spark, sf):
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks
+    (any equal chunk → candidate, guaranteed to catch hamming ≤ 3), verify
+    with bit_count(xor) ≤ SIMHASH_MAX_HAMMING."""
+    sig = simhash_df(t(spark, sf, "documents"))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("ch"))
+        for c in range(4)
+    ])
+    ex = (sig.select("doc_id", "simhash", F.explode(chunks).alias("cd"))
+          .select("doc_id", "simhash",
+                  F.col("cd.chunk").alias("chunk"), F.col("cd.ch").alias("ch")))
+    a = ex.select(F.col("doc_id").alias("a_id"),
+                  F.col("simhash").alias("ha"), "chunk", "ch")
+    b = ex.select(F.col("doc_id").alias("b_id"),
+                  F.col("simhash").alias("hb"), "chunk", "ch")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (a.join(b, ["chunk", "ch"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", ham.alias("hamming")).distinct()
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+
+
+QUERIES = {
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact_hash": EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_SQL,
+    # dedup_minhash_lsh / dedup_simhash: probabilistic candidate recall —
+    # rows-only driver check; recall asserted vs the exact op in pytest.
+}

@@ -1,0 +1,172 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+* ``ann_cosine_topk``    — brute-force cosine top-k for a fixed query set
+  (the correctness baseline; DuckDB oracle, exact double parity);
+* ``ann_cosine_neardup`` — embedding-cosine near-duplicate pairs on a bounded
+  subset (oracle);
+* ``ann_lsh_topk``       — random-hyperplane LSH-bucketed variant (the scale
+  path: candidates only within the query's bucket; rows-only, recall asserted
+  vs brute force in pytest).
+
+Parity: cosine is computed with the same formula and summation order on both
+engines — ``dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`` over
+double-cast arrays — then rounded to 4 decimals.
+
+Scale notes: brute force is a broadcast of K query vectors against N rows
+(no shuffle; embarrassingly parallel). The LSH variant buckets both sides by
+hyperplane sign bits so each query probes ~N/2^bits rows; hyperplanes are
+deterministic functions of (plane, dim) via xxhash64 — no stored model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sanskrit_ocr_spark.ops.relational import t
+
+QUERY_IDS = (0, 1, 2)
+TOP_K = 10
+NEARDUP_SUBSET = 200
+NEARDUP_COS = 0.9
+LSH_PLANES = 4  # with hamming-1 multiprobe: 5 of 16 buckets searched
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _emb_double(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    return df.select(F.col("vec_id").alias(id_alias),
+                     F.col("embedding").cast("array<double>").alias(vec_alias))
+
+
+# --- brute-force top-k (oracle) --------------------------------------------------
+
+def ann_cosine_topk(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    base = _emb_double(emb, "vec_id", "e")
+    queries = F.broadcast(
+        _emb_double(emb.filter(F.col("vec_id").isin(*QUERY_IDS)), "q_id", "qe"))
+    scored = (base.crossJoin(queries)
+              .select("q_id", "vec_id",
+                      F.round(_cosine(F.col("e"), F.col("qe")), 4).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", "cos"))
+
+
+TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id IN {QUERY_IDS}
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored) WHERE rn <= {TOP_K}
+"""
+
+
+# --- embedding-cosine near-dup pairs (oracle, bounded subset) ---------------------
+
+def ann_cosine_neardup(spark, sf):
+    emb = t(spark, sf, "embeddings").filter(F.col("vec_id") < NEARDUP_SUBSET)
+    a = _emb_double(emb, "a_id", "ea")
+    b = _emb_double(emb, "b_id", "eb")
+    return (a.crossJoin(b)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.round(_cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
+            .filter(F.col("cos") >= NEARDUP_COS))
+
+
+NEARDUP_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+WHERE a.vec_id < {NEARDUP_SUBSET} AND b.vec_id < {NEARDUP_SUBSET}
+  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+            4) >= {NEARDUP_COS}
+"""
+
+
+# --- LSH-bucketed ANN (scale path; rows-only) -------------------------------------
+
+def _hyperplane(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane as a literal double array:
+    weight(p, d) = pmod(xxhash64(p, d), 2001)/1000 - 1 ∈ [-1, 1]."""
+    return F.array(*[
+        (F.pmod(F.xxhash64(F.lit(plane), F.lit(d)), F.lit(2001))
+         .cast("double") / 1000.0 - 1.0)
+        for d in range(dim)
+    ])
+
+
+def _bucketed(df: DataFrame, dim: int) -> DataFrame:
+    bucket = F.lit(0)
+    for p in range(LSH_PLANES):
+        bit = (_dot(F.col("e"), _hyperplane(p, dim)) >= 0).cast("int")
+        bucket = bucket * 2 + bit
+    return df.withColumn("bucket", bucket)
+
+
+def ann_lsh_topk(spark, sf):
+    emb = t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").head()["embedding"])
+    base = _bucketed(_emb_double(emb, "vec_id", "e"), dim)
+    # multiprobe: the query searches its own bucket plus every bucket at
+    # Hamming distance 1 (sign flips near the hyperplane are the common
+    # nearest-neighbor miss mode)
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                       for i in range(LSH_PLANES)])
+    queries = F.broadcast(
+        _bucketed(_emb_double(emb.filter(F.col("vec_id").isin(*QUERY_IDS)),
+                              "q_id", "e"), dim)
+        .select(F.col("q_id"), F.col("e").alias("qe"),
+                F.explode(probes).alias("qbucket")))
+    scored = (base.join(queries, base.bucket == queries.qbucket)
+              .select("q_id", "vec_id",
+                      F.round(_cosine(F.col("e"), F.col("qe")), 4).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", "cos"))
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_neardup": ann_cosine_neardup,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "ann_cosine_topk": TOPK_SQL,
+    "ann_cosine_neardup": NEARDUP_SQL,
+    # ann_lsh_topk: approximate by construction — rows-only; recall vs
+    # ann_cosine_topk asserted in pytest.
+}

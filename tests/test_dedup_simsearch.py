@@ -1,0 +1,64 @@
+"""Recall/soundness of the approximate (rows-only) ops against their exact
+counterparts, at sf0.001."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.ops import dedup, simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    exact = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in dedup.dedup_ngram_jaccard(spark, SF).collect()}
+    approx = {(r["a_id"], r["b_id"]): r["jaccard"]
+              for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+              if r["a_id"] < dedup.NGRAM_SUBSET and r["b_id"] < dedup.NGRAM_SUBSET}
+    # soundness: every LSH-verified pair is a true pair with identical jaccard
+    for pair, j in approx.items():
+        assert pair in exact and exact[pair] == j
+    # recall: high-similarity pairs must be caught (1-(1-j^2)^8 ≈ 1 at j≥0.9)
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high, "fixture should contain planted near-duplicates"
+    caught = high & set(approx)
+    assert len(caught) / len(high) >= 0.9
+
+
+def test_simhash_pairs_are_near_duplicates(spark):
+    pairs = dedup.dedup_simhash(spark, SF).collect()
+    if not pairs:
+        pytest.skip("no simhash near-dups at this scale")
+    exact = {(r["a_id"], r["b_id"]) for r in
+             dedup.dedup_ngram_jaccard(spark, SF).collect()}
+    in_subset = [(r["a_id"], r["b_id"]) for r in pairs
+                 if r["a_id"] < dedup.NGRAM_SUBSET
+                 and r["b_id"] < dedup.NGRAM_SUBSET]
+    if in_subset:
+        hits = sum(1 for p in in_subset if p in exact)
+        assert hits / len(in_subset) >= 0.5  # simhash ham≤3 ⇒ mostly true dups
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    brute = {}
+    for r in simsearch.ann_cosine_topk(spark, SF).collect():
+        brute.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in simsearch.ann_lsh_topk(spark, SF).collect():
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+    # each query's bucket must at least contain itself and rank it first
+    for q, ids in approx.items():
+        assert q in ids
+    # recall across all queries: LSH top-k should recover a reasonable
+    # share of true top-k (single-probe 6-bit LSH on random data is weak by
+    # design — this asserts the machinery, not state-of-the-art recall)
+    total = sum(len(v) for v in brute.values())
+    hit = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    assert hit / total >= 0.2
+
+
+def test_exact_dedup_hash_groups(spark):
+    rows = dedup.dedup_exact_hash(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_copies"] for r in rows) == docs.count()
+    assert all(r["n_copies"] >= 1 for r in rows)

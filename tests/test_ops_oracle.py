@@ -1,0 +1,72 @@
+"""Emulates the driver's DuckDB-oracle comparison for every queries() entry
+that has an oracle_sql() — row count, schema (column names), and exact
+values after sorting columns by name and rows by all columns.
+
+Runs at sf0.001 for speed (the driver runs sf0.01); any parity bug visible
+at sf0.01 is almost always visible here too since both scales share the
+generator.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    # timestamps → ns, floats stay float64
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, con, name):
+    sdf = _norm(QUERIES[name](spark, SF).toPandas())
+    ddf = _norm(con.sql(ORACLES[name]).df())
+    assert list(sdf.columns) == list(ddf.columns), "schema mismatch"
+    assert len(sdf) == len(ddf), "row count mismatch"
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            assert np.array_equal(a.astype(float).to_numpy(),
+                                  b.astype(float).to_numpy(), equal_nan=True), \
+                f"float column {c} differs"
+        else:
+            pd.testing.assert_series_equal(
+                a.astype(str), b.astype(str), check_names=False,
+                obj=f"column {c}")
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
