@@ -1,0 +1,71 @@
+"""Structured Streaming ingestion: continuously extract newly-landed pages.
+
+The reference's "streaming" is resumable *batch* (offset-skip resume,
+``translate_bookcorpus.py:43-44,79``; SURVEY.md §2.12), and the primary
+rebuild path keeps that shape (icelite MERGE — ``extract/job.py``). This
+module adds the genuinely-streaming variant for deployments where page
+files land continuously (the Common-Crawl dump-ingestion scenario):
+
+* ``readStream`` file source over a pages directory (parquet), with
+  ``maxFilesPerTrigger`` back-pressure;
+* the SAME ``extract_pages`` mapInPandas stage — batch/streaming parity is
+  free because the stage is a stateless projection;
+* ``foreachBatch`` commits each micro-batch through the icelite
+  MERGE-on-url, so the streaming path shares the batch path's idempotence
+  and lineage (exactly-once effect via at-least-once delivery + key-level
+  dedup — the standard Spark streaming sink discipline);
+* checkpointing via Spark's streaming checkpoint dir (source offsets) ON
+  TOP of MERGE idempotence — either alone suffices for correctness, both
+  together minimize reprocessing.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from sanskrit_ocr_spark.extract.job import extracted_table, lineage_table
+from sanskrit_ocr_spark.extract.pipeline import (
+    PAGES_INPUT_SCHEMA,
+    extract_pages,
+    lineage_rows,
+)
+
+
+def start_ingest(spark: SparkSession, pages_dir: str, root: str,
+                 checkpoint_dir: str, max_files_per_trigger: int = 16,
+                 available_now: bool = False):
+    """Start the streaming extraction job; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``pages_dir`` and
+    stops (used by tests and backfills); otherwise runs continuously.
+    """
+    ext = extracted_table(spark, root)
+    lin = lineage_table(spark, root)
+
+    stream = (spark.readStream
+              .schema(PAGES_INPUT_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(pages_dir))
+
+    extracted = extract_pages(stream)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        # foreachBatch hands us a normal DataFrame: reuse the batch path.
+        batch_df = batch_df.cache()
+        try:
+            sid, inserted = ext.merge_on_key(batch_df, "url",
+                                             order_col="warc_ts")
+            lin.append(lineage_rows(
+                batch_df, snapshot_id=sid,
+                committed_at=datetime.now(timezone.utc)))
+        finally:
+            batch_df.unpersist()
+
+    writer = (extracted.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

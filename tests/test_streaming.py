@@ -1,0 +1,57 @@
+"""Streaming ingestion: drain a pages directory with availableNow, verify the
+committed table matches the batch path byte-for-byte, and that late-arriving
+files are picked up incrementally with MERGE idempotence."""
+
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+from sanskrit_ocr_spark.extract.job import extracted_table, run_extraction
+from sanskrit_ocr_spark.streaming.ingest import start_ingest
+
+
+def _write_pages(spark, path, lo, hi, mode="overwrite"):
+    (spark.createDataFrame(pages_pandas(lo, hi - lo), schema=PAGES_SCHEMA)
+     .select("url", "warc_ts", "html")
+     .coalesce(2).write.mode(mode).parquet(path))
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    root = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages(spark, pages_dir, 0, 120)
+
+    q = start_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    # batch reference run over the same input
+    from datetime import datetime
+    batch_root = str(tmp_path / "batch_out")
+    pages = spark.createDataFrame(pages_pandas(0, 120), schema=PAGES_SCHEMA)
+    run_extraction(spark, pages, batch_root, committed_at=datetime(2025, 7, 4))
+
+    a = extracted_table(spark, root).read()
+    b = extracted_table(spark, batch_root).read()
+    assert a.count() == b.count()
+    joined = (a.select("url", F.col("text").alias("ta"))
+              .join(b.select("url", F.col("text").alias("tb")), "url"))
+    assert joined.count() == a.count()
+    assert joined.filter(F.col("ta") != F.col("tb")).count() == 0
+
+
+def test_stream_ingest_incremental_no_duplicates(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages2")
+    root = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_pages(spark, pages_dir, 0, 100)
+    q = start_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = extracted_table(spark, root).read().count()
+
+    # late files land (including overlapping urls 0-99 again → must dedup)
+    _write_pages(spark, pages_dir, 0, 200, mode="append")
+    q = start_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+    t = extracted_table(spark, root).read()
+    assert t.count() > n1
+    assert t.select("url").distinct().count() == t.count()
