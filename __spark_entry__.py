@@ -46,7 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x1_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         from sanskrit_ocr_spark.datagen.pages import pages_df
         from sanskrit_ocr_spark.extract.pipeline import extract_pages
-        return extract_pages(pages_df(spark, 500), salt_partitions=8)
+        ext = extract_pages(pages_df(spark, 500), salt_partitions=8)
+        # sentences as JSON so the driver's value-hash never has to sort
+        # raw array columns; the struct form is golden-tested in pytest
+        return ext.select("url", "warc_ts", "text",
+                          F.to_json("sentences").alias("sentences_json"),
+                          "n_graphemes", "status", "part_hash")
 
     def x2_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datetime import datetime

@@ -106,15 +106,21 @@ JOIN (SELECT doc_id, text FROM documents) x USING (doc_id)
 # --- J3: resume anti-join (translate_bookcorpus.py:43-44,79 → left anti) ------
 
 def j3_resume_anti_join(spark, sf):
+    # "pages not yet extracted" shape: customers with no committed
+    # high-value order (filter keeps the result non-vacuous at every sf)
     cust = t(spark, sf, "customer")
-    orders = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return (cust.join(orders, "c_custkey", "left_anti")
+    done = (t(spark, sf, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select(F.col("o_custkey").alias("c_custkey")))
+    return (cust.join(done, "c_custkey", "left_anti")
             .select("c_custkey", "c_name"))
 
 
 J3_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
 """
 
 
@@ -412,6 +418,56 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+# --- P8: JSON path extraction (lineage-payload shape, SURVEY §2.12) ----------
+
+def p8_json_extract(spark, sf):
+    ev = t(spark, sf, "events")
+    return (ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k").agg(F.count("*").alias("n")))
+
+
+P8_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- G1/G2: remaining dimension tables (part, supplier) -----------------------
+
+def g1_part_brand_stats(spark, sf):
+    return (t(spark, sf, "part").groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 _dec_sum(F.col("p_retailprice"), "sum_retail"),
+                 F.max("p_size").alias("max_size")))
+
+
+G1_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       sum(p_retailprice::DECIMAL(20,2))::DOUBLE AS sum_retail,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+def g2_supplier_nation(spark, sf):
+    sup = t(spark, sf, "supplier")
+    nation = F.broadcast(t(spark, sf, "nation"))
+    return (sup.join(nation, sup.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 _dec_sum(F.col("s_acctbal"), "sum_acctbal")))
+
+
+G2_SQL = """
+SELECT n_name, count(*) AS n_suppliers,
+       sum(s_acctbal::DECIMAL(20,2))::DOUBLE AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "p1_content_filter": p1_content_filter,
     "f1_empty_filter": f1_empty_filter,
@@ -434,6 +490,9 @@ QUERIES = {
     "w2_sessionize": w2_sessionize,
     "s1_except_custkeys": s1_except_custkeys,
     "e1_hourly_rollup": e1_hourly_rollup,
+    "p8_json_extract": p8_json_extract,
+    "g1_part_brand_stats": g1_part_brand_stats,
+    "g2_supplier_nation": g2_supplier_nation,
 }
 
 ORACLES = {
@@ -458,4 +517,7 @@ ORACLES = {
     "w2_sessionize": W2_SQL,
     "s1_except_custkeys": S1_SQL,
     "e1_hourly_rollup": E1_SQL,
+    "p8_json_extract": P8_SQL,
+    "g1_part_brand_stats": G1_SQL,
+    "g2_supplier_nation": G2_SQL,
 }

@@ -29,7 +29,9 @@ from sanskrit_ocr_spark.ops.relational import t
 QUERY_IDS = (0, 1, 2)
 TOP_K = 10
 NEARDUP_SUBSET = 200
-NEARDUP_COS = 0.9
+# calibrated to the synthetic embeddings (random unit-ish vectors: max
+# pairwise cosine in the subset is ~0.44) so the oracle is non-vacuous
+NEARDUP_COS = 0.35
 LSH_PLANES = 4  # with hamming-1 multiprobe: 5 of 16 buckets searched
 
 
