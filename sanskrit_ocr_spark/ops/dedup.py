@@ -147,9 +147,12 @@ WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) >= {JACCARD_THRESHOLD}
 
 # --- MinHash + banded LSH (the scale path; rows-only) ---------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → m0..m{NUM_MINHASH-1} MinHash signature via JVM xxhash64."""
-    sh = _with_shingles(docs)
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """shingles(doc_id, sh) → m0..m{NUM_MINHASH-1} signature (JVM xxhash64).
+
+    All NUM_MINHASH permutation-mins come out of ONE groupBy — one shuffle
+    for the whole signature, not one per hash function.
+    """
     mins = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"m{s}")
             for s in range(NUM_MINHASH)]
     return sh.groupBy("doc_id").agg(*mins)
@@ -178,8 +181,10 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 def dedup_minhash_lsh(spark, sf):
     docs = t(spark, sf, "documents")
-    cand = lsh_candidates(minhash_signatures(docs))
-    sh = _with_shingles(docs)
+    # The shingle explode feeds both the signature groupBy and the verify
+    # join — persist it so the tokenize/explode runs once, not twice.
+    sh = _with_shingles(docs).persist()
+    cand = lsh_candidates(minhash_signatures(sh))
     return (_true_jaccard(sh, cand)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select("a_id", "b_id", "jaccard"))
