@@ -89,9 +89,78 @@ def mm_feature_extract(spark, sf):
     return feature_extract(docs, "payload", "doc_id")
 
 
+# --- stub resize / frame-sample (typed plumbing for image & video columns) -----
+
+def resize(df: DataFrame, binary_col: str, id_col: str,
+           target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """STUB resize: emits a deterministic fake thumbnail payload of the
+    target geometry (md5-keyed) plus the typed metadata a real codec path
+    would produce. Schema/batching identical to a production PIL resize."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs, ws, hs = [], [], []
+            for p in pdf[binary_col]:
+                d = hashlib.md5(bytes(p)).digest()
+                # fake thumbnail: digest tiled to target_w*target_h/64 bytes
+                thumbs.append((d * (target_w * target_h // (64 * len(d)) + 1)
+                               )[: target_w * target_h // 64])
+                ws.append(target_w)
+                hs.append(target_h)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "thumb": thumbs,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        body, schema=f"{id_col} long, thumb binary, width int, height int")
+
+
+def frame_sample(df: DataFrame, binary_col: str, id_col: str,
+                 every_n: int = 10) -> DataFrame:
+    """STUB video frame sampling: one output row per sampled frame index
+    (explode-shaped UDF output — rows out ≠ rows in, the mapInPandas
+    contract a real ffmpeg frame sampler needs)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(p)
+                n_frames = 1 + len(payload) % 50  # fake stream length
+                for k in range(0, n_frames, every_n):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(hashlib.md5(payload + bytes([k % 256]))
+                                  .digest())
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "frame": frames,
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        body, schema=f"{id_col} long, frame_idx int, frame binary")
+
+
+def mm_resize(spark, sf):
+    docs = (t(spark, sf, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return resize(docs, "payload", "doc_id")
+
+
+def mm_frame_sample(spark, sf):
+    docs = (t(spark, sf, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return frame_sample(docs, "payload", "doc_id")
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_feature_extract": mm_feature_extract,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {

@@ -73,11 +73,26 @@ class IceliteTable:
         return self._manifest(sid)["files"] if sid else []
 
     # -- read -----------------------------------------------------------------
-    def read(self) -> DataFrame:
-        files = self.committed_files()
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at HEAD, or time-travel to ``snapshot_id``
+        (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
+        immutable, so old snapshots stay readable after later appends)."""
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        files = self._manifest(sid)["files"] if sid else []
         if not files:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*files)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: [{snapshot_id, parent, n_files}]."""
+        out = []
+        sid = self.snapshot_id()
+        while sid:
+            m = self._manifest(sid)
+            out.append({"snapshot_id": sid, "parent": m["parent"],
+                        "n_files": len(m["files"])})
+            sid = m["parent"]
+        return list(reversed(out))
 
     # -- write ----------------------------------------------------------------
     def append(self, df: DataFrame) -> int:
