@@ -21,7 +21,7 @@ Status codes:
 from __future__ import annotations
 
 from sanskrit_ocr_spark.kernels.devanagari import devanagari_post
-from sanskrit_ocr_spark.kernels.htmlx import extract_html
+from sanskrit_ocr_spark.kernels.htmlfast import extract_html_fast as extract_html
 from sanskrit_ocr_spark.kernels.pdfish import PDF_MAGIC, extract_pdf_layout
 
 # Mirrors the spirit of max_model_len=4096 tokens (translate_bookcorpus.py:124):

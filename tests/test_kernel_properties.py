@@ -63,6 +63,14 @@ def test_grapheme_clusters_partition_text(s):
     assert all(clusters)
 
 
+@given(st.text(alphabet=st.one_of(_dev, st.just(" ")), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_grapheme_count_matches_cluster_path(s):
+    from sanskrit_ocr_spark.kernels.devanagari import grapheme_count
+    assert grapheme_count(s) == sum(
+        1 for c in grapheme_clusters(s) if c != " ")
+
+
 @given(st.lists(st.text(alphabet=st.characters(min_codepoint=0x0905,
                                                max_codepoint=0x0939),
                         min_size=1, max_size=6),
