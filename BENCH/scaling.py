@@ -48,6 +48,9 @@ n = extract_pages(df, salt_partitions=0).count()
 cold = time.perf_counter() - t0
 vals = []
 for _ in range(3):
+    # drain cross-pass garbage so one pass's heap debt cannot stall the
+    # next (observed: a full-GC storm on pass k halves pass k's number)
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     extract_pages(df, salt_partitions=0).count()
     vals.append(n / (time.perf_counter() - t0))
@@ -114,8 +117,10 @@ def generate(rows: int, path: str, repo_root: str) -> None:
 def main() -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small-rows", type=int, default=150_000)
-    ap.add_argument("--big-rows", type=int, default=600_000)
+    # sized so every level runs ≥30s: fixed per-job costs (scheduling,
+    # shuffle setup) must amortize equally at N and 4N
+    ap.add_argument("--small-rows", type=int, default=250_000)
+    ap.add_argument("--big-rows", type=int, default=1_800_000)
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scaling_pages_")

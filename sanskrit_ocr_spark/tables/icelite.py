@@ -44,10 +44,18 @@ from pyspark.sql.window import Window
 
 
 class IceliteTable:
-    def __init__(self, spark: SparkSession, root: str, schema: StructType):
+    """``partition_cols``: hive-style directory partitioning for every
+    commit (the icelite analog of Iceberg's partition spec — e.g.
+    ``["warc_day", "bucket"]`` gives the north_rule's range-on-time ×
+    bucket-on-url layout, and Spark's scan prunes directories from
+    partition-column predicates)."""
+
+    def __init__(self, spark: SparkSession, root: str, schema: StructType,
+                 partition_cols: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.schema = schema
+        self.partition_cols = partition_cols or []
         os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -81,7 +89,20 @@ class IceliteTable:
         files = self._manifest(sid)["files"] if sid else []
         if not files:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*files)
+        if not self.partition_cols:
+            return self.spark.read.schema(self.schema).parquet(*files)
+        # partitioned layout: "files" are commit directories; basePath per
+        # commit recovers hive partition columns, and Spark's scan prunes
+        # directories from predicates on them (PartitionFilters)
+        parts = [
+            self.spark.read.schema(self.schema)
+            .option("basePath", d).parquet(d)
+            for d in files
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: [{snapshot_id, parent, n_files}]."""
@@ -100,12 +121,18 @@ class IceliteTable:
         parent = self.snapshot_id()
         sid = parent + 1
         data_dir = os.path.join(self.root, "data", f"commit-{sid}")
-        df.write.mode("overwrite").parquet(data_dir)
-        new_files = [
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.endswith(".parquet")
-        ]
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(data_dir)
+        if self.partition_cols:
+            new_files = [data_dir]
+        else:
+            new_files = [
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir)
+                if f.endswith(".parquet")
+            ]
         files = (self._manifest(parent)["files"] if parent else []) + sorted(new_files)
         manifest = {"snapshot_id": sid, "parent": parent, "files": files}
         mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
