@@ -6,9 +6,9 @@ substitution" for the full methodology rationale).
 Runs the IDENTICAL extraction job on IDENTICAL pre-materialized input at two
 N→4N core pairs, each level CPU-pinned (``taskset``) in a fresh subprocess:
 
-* **2→8 cores** (150k pages): both levels inside the box's comfort zone —
+* **2→8 cores** (250k pages): both levels inside the box's comfort zone —
   the clean proxy for multiplying independent executors;
-* **8→32 cores** (600k pages): the full-box pair, reported against the
+* **8→32 cores** (1.8M pages): the full-box pair, reported against the
   box's own pure-CPU scaling ceiling (shared LLC/memory bandwidth +
   hypervisor steal), which this script also measures.
 
@@ -38,7 +38,7 @@ from sanskrit_ocr_spark.extract.pipeline import extract_pages
 spark = build_spark(app=f"scaling-{cores}", master=f"local[{cores}]",
                     shuffle_partitions=cores,
                     extra={"spark.ui.enabled": "false",
-                           "spark.driver.memory": "24g",
+                           "spark.driver.memory": "40g",
                            "spark.sql.files.maxPartitionBytes": mpb,
                            "spark.sql.execution.arrow.maxRecordsPerBatch":
                                "8192"})

@@ -418,6 +418,31 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+# --- Q6-style forecasting scan (filter-heavy single-table agg) ----------------
+
+def q6_revenue_delta(spark, sf):
+    li = (t(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01")
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24)))
+    rev = F.sum(_dec(F.col("l_extendedprice"))
+                * _dec(F.col("l_discount"), "12,2")).cast("double")
+    return li.agg(rev.alias("revenue"))
+
+
+Q6_SQL = """
+SELECT sum(l_extendedprice::DECIMAL(20,2)
+           * l_discount::DECIMAL(12,2))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # --- P8: JSON path extraction (lineage-payload shape, SURVEY §2.12) ----------
 
 def p8_json_extract(spark, sf):
@@ -493,6 +518,7 @@ QUERIES = {
     "p8_json_extract": p8_json_extract,
     "g1_part_brand_stats": g1_part_brand_stats,
     "g2_supplier_nation": g2_supplier_nation,
+    "q6_revenue_delta": q6_revenue_delta,
 }
 
 ORACLES = {
@@ -520,4 +546,5 @@ ORACLES = {
     "p8_json_extract": P8_SQL,
     "g1_part_brand_stats": G1_SQL,
     "g2_supplier_nation": G2_SQL,
+    "q6_revenue_delta": Q6_SQL,
 }
