@@ -385,6 +385,37 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# --- W3: as-of join (custom operator; Spark lacks it natively) -----------------
+
+def w3_asof_join(spark, sf):
+    """Each click event joined to the user's most recent prior-or-equal view:
+    implemented as a single-pass window (union events, carry-forward the
+    last view timestamp) — no join, one shuffle on user_id. The DuckDB
+    oracle uses its NATIVE ``ASOF JOIN``, so the semantics are checked
+    against an independent implementation, not a re-derivation.
+    """
+    ev = t(spark, sf, "events").filter(F.col("event_type").isin("click", "view"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(),
+                  # views sort before clicks at equal ts → a same-instant
+                  # view is visible to the click (ASOF >= semantics)
+                  F.when(F.col("event_type") == "view", 0).otherwise(1),
+                  F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "last_view_ts"))
+
+
+W3_SQL = """
+SELECT c.event_id, c.user_id, c.ts, v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
 # --- Set op: EXCEPT (SURVEY §2.9 — the anti-join-shaped set op) ----------------
 
 def s1_except_custkeys(spark, sf):
@@ -519,6 +550,7 @@ QUERIES = {
     "g1_part_brand_stats": g1_part_brand_stats,
     "g2_supplier_nation": g2_supplier_nation,
     "q6_revenue_delta": q6_revenue_delta,
+    "w3_asof_join": w3_asof_join,
 }
 
 ORACLES = {
@@ -547,4 +579,5 @@ ORACLES = {
     "g1_part_brand_stats": G1_SQL,
     "g2_supplier_nation": G2_SQL,
     "q6_revenue_delta": Q6_SQL,
+    "w3_asof_join": W3_SQL,
 }
