@@ -20,6 +20,8 @@ Status codes:
 
 from __future__ import annotations
 
+import re
+
 from sanskrit_ocr_spark.kernels.devanagari import devanagari_post
 from sanskrit_ocr_spark.kernels.htmlfast import extract_html_fast as extract_html
 from sanskrit_ocr_spark.kernels.pdfish import PDF_MAGIC, extract_pdf_layout
@@ -33,6 +35,29 @@ STATUS_EMPTY = "EMPTY"
 STATUS_DECODE_FAIL = "DECODE_FAIL"
 STATUS_PARSE_FAIL = "PARSE_FAIL"
 STATUS_TOO_LONG = "TOO_LONG"
+
+# charset declared in <meta charset=…> / <meta http-equiv … content=…charset=…>
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]{2,24})")
+
+
+def _decode_html(html: bytes) -> str | None:
+    """UTF-8 first; on failure honor a declared ``<meta charset>`` within
+    the first 2 KiB (real Common-Crawl pages are ~5% non-UTF-8). Returns
+    None (→ DECODE_FAIL) when neither works — never ``errors='replace'``,
+    which would silently corrupt the byte-identity contract."""
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        m = _CHARSET_RE.search(html[:2048])
+        if not m:
+            return None
+        try:
+            enc = m.group(1).decode("ascii")
+            if enc.lower() in ("utf-8", "utf8"):  # lied; already failed
+                return None
+            return html.decode(enc)
+        except (LookupError, UnicodeDecodeError):
+            return None
 
 
 def extract_page(html: bytes | None) -> tuple[str, list[tuple[int, int]], int, str]:
@@ -49,9 +74,8 @@ def extract_page(html: bytes | None) -> tuple[str, list[tuple[int, int]], int, s
         if html.startswith(PDF_MAGIC):
             raw = extract_pdf_layout(html)
         else:
-            try:
-                markup = html.decode("utf-8")
-            except UnicodeDecodeError:
+            markup = _decode_html(html)
+            if markup is None:
                 return "", [], 0, STATUS_DECODE_FAIL
             raw = extract_html(markup)
     except Exception:

@@ -239,6 +239,26 @@ def test_page_decode_fail():
     assert extract_page(b"<body>\xff\xfe\x80</body>")[3] == STATUS_DECODE_FAIL
 
 
+def test_page_declared_charset_honored():
+    # latin-1 page with a declared charset: devanagari can't appear, but the
+    # decode must succeed (status EMPTY, not DECODE_FAIL)
+    body = ("<html><head><meta charset=\"iso-8859-1\"></head>"
+            "<body><p>caf\xe9 content long enough to classify</p></body>")
+    payload = body.encode("iso-8859-1")
+    assert extract_page(payload)[3] == STATUS_EMPTY
+
+
+def test_page_lying_utf8_charset_is_decode_fail():
+    payload = (b"<meta charset='utf-8'><body><p>\xff\xfe broken bytes"
+               b" padding padding</p></body>")
+    assert extract_page(payload)[3] == STATUS_DECODE_FAIL
+
+
+def test_page_unknown_charset_is_decode_fail():
+    payload = (b"<meta charset='no-such-enc'><body>\xff\xfe</body>")
+    assert extract_page(payload)[3] == STATUS_DECODE_FAIL
+
+
 def test_page_parse_fail_pdf():
     assert extract_page(PDF_MAGIC + b"{bad json")[3] == STATUS_PARSE_FAIL
 
