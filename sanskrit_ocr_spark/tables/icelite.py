@@ -167,3 +167,63 @@ class IceliteTable:
         inserted = fresh.count()
         sid = self.append(fresh)
         return sid, inserted
+
+    # -- maintenance ------------------------------------------------------------
+    def compact(self, target_partitions: int = 8) -> int:
+        """Rewrite the current snapshot into ``target_partitions`` files
+        (Iceberg ``rewrite_data_files`` analog — incremental appends
+        accumulate small files; at web scale the scan's split planning
+        drowns in them). The new snapshot REPLACES the file list; older
+        snapshots keep reading their own immutable files."""
+        parent = self.snapshot_id()
+        sid = parent + 1
+        data_dir = os.path.join(self.root, "data", f"commit-{sid}")
+        current = self.read()
+        writer = (current.repartition(target_partitions)
+                  .write.mode("overwrite"))
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(data_dir)
+        if self.partition_cols:
+            files = [data_dir]
+        else:
+            files = sorted(
+                os.path.join(data_dir, f)
+                for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        manifest = {"snapshot_id": sid, "parent": parent, "files": files,
+                    "compacted": True}
+        mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._head_path())
+        return sid
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop manifests (and data files referenced by NO retained
+        snapshot) older than the last ``keep_last`` snapshots. Returns the
+        expired snapshot ids. Time travel to expired ids stops working —
+        exactly Iceberg's ``expire_snapshots`` contract."""
+        head = self.snapshot_id()
+        retained = set(range(max(1, head - keep_last + 1), head + 1))
+        keep_files: set[str] = set()
+        for sid in retained:
+            keep_files.update(self._manifest(sid)["files"])
+        expired = []
+        for sid in range(1, max(1, head - keep_last + 1)):
+            mpath = os.path.join(self.root, "_icelite", "commits",
+                                 f"{sid}.json")
+            if not os.path.exists(mpath):
+                continue
+            for f in self._manifest(sid)["files"]:
+                if f not in keep_files and os.path.exists(f):
+                    if os.path.isdir(f):
+                        import shutil
+                        shutil.rmtree(f, ignore_errors=True)
+                    else:
+                        os.remove(f)
+            os.remove(mpath)
+            expired.append(sid)
+        return expired
