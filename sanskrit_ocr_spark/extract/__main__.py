@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-partitions", type=int, default=None,
                    help="salted repartition width before the extract UDF")
     p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--partitioned", action="store_true",
+                   help="write the warc_day x url-bucket hive layout")
     args = p.parse_args(argv)
 
     spark = build_spark(app="extract-job", master=args.master,
@@ -52,9 +54,11 @@ def main(argv: list[str] | None = None) -> int:
             pages = spark.read.parquet(args.input)
 
         res = run_extraction(spark, pages, args.root,
-                             salt_partitions=args.salt_partitions)
+                             salt_partitions=args.salt_partitions,
+                             partitioned=args.partitioned)
 
-        ext = extracted_table(spark, args.root).read()
+        ext = extracted_table(spark, args.root,
+                              partitioned=args.partitioned).read()
         lin = lineage_table(spark, args.root).read()
         fail_tallies = {
             r["fail_code"]: r["n"]

@@ -18,8 +18,9 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType, TimestampType,
+    DateType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
 from sanskrit_ocr_spark.extract.pipeline import (
@@ -39,7 +40,22 @@ LINEAGE_SCHEMA = StructType([
 ])
 
 
-def extracted_table(spark: SparkSession, root: str) -> IceliteTable:
+LAYOUT_COLS = ["warc_day", "bucket"]  # range-on-time × bucket-on-url
+
+EXTRACTED_LAYOUT_SCHEMA = StructType(
+    EXTRACTED_SCHEMA.fields + [
+        StructField("warc_day", DateType(), True),
+        StructField("bucket", LongType(), False),
+    ]
+)
+
+
+def extracted_table(spark: SparkSession, root: str,
+                    partitioned: bool = False) -> IceliteTable:
+    if partitioned:
+        return IceliteTable(spark, f"{root}/extracted",
+                            EXTRACTED_LAYOUT_SCHEMA,
+                            partition_cols=LAYOUT_COLS)
     return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA)
 
 
@@ -49,17 +65,25 @@ def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
 
 def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    salt_partitions: int | None = None,
-                   committed_at: datetime | None = None) -> dict:
+                   committed_at: datetime | None = None,
+                   partitioned: bool = False) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
     twice with the same input inserts nothing the second time.
+    ``partitioned=True`` writes the north-rule physical layout
+    (hive dirs warc_day × url-bucket → partition pruning on reads).
     """
-    ext = extracted_table(spark, root)
+    ext = extracted_table(spark, root, partitioned=partitioned)
     lin = lineage_table(spark, root)
 
     todo = pages.join(ext.read().select("url"), "url", "left_anti")
     extracted = extract_pages(todo, salt_partitions=salt_partitions)
+    if partitioned:
+        extracted = extracted.withColumn(
+            "warc_day", F.to_date("warc_ts")
+        ).withColumn(
+            "bucket", F.pmod(F.col("part_hash"), F.lit(64)).cast("long"))
     # One pass is consumed twice (commit + lineage): cache the UDF output so
     # the expensive parse never runs twice per page.
     extracted = extracted.cache()
