@@ -474,6 +474,24 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# --- R1: rollup (grouping-sets family; subtotals + grand total) ---------------
+
+def r1_event_rollup(spark, sf):
+    ev = t(spark, sf, "events")
+    return (ev.rollup("event_type")
+            .agg(F.count("*").alias("n"),
+                 _dec_sum(F.col("value"), "sum_value"))
+            .select(F.coalesce(F.col("event_type"), F.lit("<ALL>"))
+                    .alias("event_type"), "n", "sum_value"))
+
+
+R1_SQL = """
+SELECT coalesce(event_type, '<ALL>') AS event_type, count(*) AS n,
+       sum(value::DECIMAL(20,2))::DOUBLE AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
 # --- P8: JSON path extraction (lineage-payload shape, SURVEY §2.12) ----------
 
 def p8_json_extract(spark, sf):
@@ -551,6 +569,7 @@ QUERIES = {
     "g2_supplier_nation": g2_supplier_nation,
     "q6_revenue_delta": q6_revenue_delta,
     "w3_asof_join": w3_asof_join,
+    "r1_event_rollup": r1_event_rollup,
 }
 
 ORACLES = {
@@ -580,4 +599,5 @@ ORACLES = {
     "g2_supplier_nation": G2_SQL,
     "q6_revenue_delta": Q6_SQL,
     "w3_asof_join": W3_SQL,
+    "r1_event_rollup": R1_SQL,
 }
