@@ -160,15 +160,43 @@ def ann_lsh_topk(spark, sf):
             .select("q_id", "vec_id", "cos"))
 
 
+# --- per-label centroids (IVF coarse-quantizer building block; oracle) ---------
+
+def ann_label_centroids(spark, sf):
+    """Element-wise mean embedding per label, long format (label, pos, c).
+    posexplode → one shuffle on (label, pos); this is the aggregation an
+    IVF index build runs per assignment round. Decimal-exact sums keep the
+    oracle hash stable (see relational.py parity rules)."""
+    emb = t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode(
+        F.col("embedding").cast("array<double>")).alias("pos", "val"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("*"), 4).alias("c")))
+
+
+CENTROID_SQL = """
+SELECT label, g.pos - 1 AS pos,
+       round(sum(g.val::DECIMAL(18,9))::DOUBLE / count(*), 4) AS c
+FROM embeddings, LATERAL (
+  SELECT unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) AS pos) g
+GROUP BY label, g.pos
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_neardup": ann_cosine_neardup,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_label_centroids": ann_label_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_cosine_neardup": NEARDUP_SQL,
+    "ann_label_centroids": CENTROID_SQL,
     # ann_lsh_topk: approximate by construction — rows-only; recall vs
     # ann_cosine_topk asserted in pytest.
 }
