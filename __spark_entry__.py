@@ -24,7 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
     dedup (D1) → grouped counts + token sums (A1/A3)."""
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     clean = F.trim(F.regexp_replace("text", "[^a-z ]+", ""))
-    w = Window.partitionBy("clean").orderBy(F.col("doc_id").asc())
+    # hash-first window key: sort/shuffle comparisons touch an 8-byte hash,
+    # not whole documents; "clean" stays in the key only for collision safety
+    w = Window.partitionBy(F.xxhash64("clean"), "clean") \
+              .orderBy(F.col("doc_id").asc())
     return (docs
             .select("doc_id", "source", clean.alias("clean"))
             .filter(F.length("clean") > 0)

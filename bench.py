@@ -45,7 +45,19 @@ def main() -> int:
                                "spark.sql.files.maxPartitionBytes": "8m",
                                "spark.sql.execution.arrow.maxRecordsPerBatch":
                                    "8192"})
+    from pyspark.sql import functions as F
+
     queries, _ = registry()
+
+    def force(df):
+        """Fully evaluate EVERY output column: hash each row's JSON into one
+        aggregate. A bare count() lets Spark prune unused projections (e.g.
+        p1's regexp_replace would never execute). bit_xor, not sum: summing
+        64-bit hashes overflows under ANSI mode."""
+        return df.select(
+            F.bit_xor(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
+        ).collect()
+
     headline = [
         "p1_content_filter", "d1_dedup_first_wins", "q1_pricing_summary",
         "q3_top_revenue", "j_broadcast_dims", "w2_sessionize",
@@ -72,10 +84,13 @@ def main() -> int:
         timings["extract_pages"] = round(dt, 3)
         extract_docs_per_sec = round(n_extracted / dt, 1)
 
+        from sanskrit_ocr_spark.ops import dedup
+
         for name in headline:
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
+            force(queries[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+            dedup.release_caches()  # minhash shingle cache: scoped per query
 
         total = round(sum(timings.values()), 3)
         print(json.dumps({

@@ -179,11 +179,28 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
             .select("a_id", "b_id").distinct())
 
 
+# Persisted shingle DataFrames from prior invocations: unpersisted on the
+# next call (and releasable explicitly) so repeated bench/driver loops never
+# accumulate cached blocks in executor memory.
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist shingle caches left by ``dedup_minhash_lsh`` (call after
+    the result has been materialized)."""
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+
+
 def dedup_minhash_lsh(spark, sf):
     docs = t(spark, sf, "documents")
+    release_caches()
     # The shingle explode feeds both the signature groupBy and the verify
-    # join — persist it so the tokenize/explode runs once, not twice.
+    # join — persist it so the tokenize/explode runs once, not twice. The
+    # cache is scoped: released on the next invocation or via
+    # ``release_caches()`` once the caller has materialized the result.
     sh = _with_shingles(docs).persist()
+    _SHINGLE_CACHE.append(sh)
     cand = lsh_candidates(minhash_signatures(sh))
     return (_true_jaccard(sh, cand)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

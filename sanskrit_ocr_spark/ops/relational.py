@@ -72,7 +72,12 @@ WHERE length(trim(regexp_replace(text, '[^qxz]+', '', 'g'))) > 0
 # --- D1: first-wins exact dedup (h5_to_parquet.py:27,45-48) -------------------
 
 def d1_dedup_first_wins(spark, sf):
-    w = Window.partitionBy("text").orderBy(F.col("doc_id").asc())
+    # Partition the window by xxhash64(text) FIRST, full text second: the
+    # shuffle/sort comparisons short-circuit on the 8-byte hash instead of
+    # comparing whole documents; the text column stays in the key only as
+    # the collision tie-break, so the semantics are byte-exact.
+    w = Window.partitionBy(F.xxhash64("text"), "text") \
+              .orderBy(F.col("doc_id").asc())
     return (t(spark, sf, "documents")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -220,10 +225,52 @@ P6_SQL = "SELECT doc_id, printf('img_%04d.png', doc_id) AS img_name FROM documen
 
 # --- P7: monotonically increasing id (translate_bookcorpus.py:148-152) --------
 
+def dense_id(df: DataFrame, order_col: str, n_buckets: int = 32) -> DataFrame:
+    """Scale-safe dense sequence number in ``order_col`` order — the
+    partition-offset (zipWithIndex-style) technique instead of a global
+    single-task window:
+
+    1. one aggregation pass computes ``n_buckets`` quantile boundaries of
+       the order key (``percentile_approx`` — deterministic, and the exact
+       boundary values don't matter: any contiguous range split yields the
+       same final ranks);
+    2. one aggregation pass counts rows per range bucket (``n_buckets``
+       rows to the driver — the same driver-side footprint as Spark's own
+       ``zipWithIndex``);
+    3. the final plan ranks within each bucket (parallel windows) and adds
+       the bucket's cumulative offset from a literal map.
+
+    Every shuffle is on the small bucket id; no single-task global sort.
+    """
+    key = F.col(order_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(F.percentile_approx(order_col, qs, 10000).alias("b")).head()
+    bounds = row["b"] if row and row["b"] is not None else []
+    bucket = F.lit(0)
+    if bounds:
+        bucket = F.aggregate(
+            F.array(*[F.lit(b) for b in bounds]), F.lit(0),
+            lambda acc, b: acc + F.when(key > b, 1).otherwise(0))
+    with_b = df.withColumn("__bkt", bucket)
+    counts = {r["__bkt"]: r["n"]
+              for r in with_b.groupBy("__bkt").agg(F.count("*").alias("n"))
+              .collect()}
+    offs, acc = [], 0
+    for b in range(n_buckets):
+        offs.append(acc)
+        acc += counts.get(b, 0)
+    off_map = F.create_map(*[x for b in range(n_buckets)
+                             for x in (F.lit(b), F.lit(offs[b]))])
+    w = Window.partitionBy("__bkt").orderBy(key.asc())
+    return (with_b
+            .withColumn("seq", (F.row_number().over(w).cast("long")
+                                + off_map[F.col("__bkt")]))
+            .drop("__bkt"))
+
+
 def p7_dense_id(spark, sf):
-    w = Window.orderBy(F.col("doc_id").asc())
-    return (t(spark, sf, "documents")
-            .select("doc_id", F.row_number().over(w).alias("seq")))
+    return (dense_id(t(spark, sf, "documents").select("doc_id"), "doc_id")
+            .select("doc_id", F.col("seq").cast("int").alias("seq")))
 
 
 P7_SQL = """
@@ -357,9 +404,12 @@ def w2_sessionize(spark, sf):
     ev = t(spark, sf, "events")
     w_ord = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
                                                   F.col("event_id").asc())
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # Compare gaps in MICROSECONDS on both engines: the events carry
+    # sub-second precision, and truncating to whole seconds (cast to long)
+    # disagrees with DuckDB's epoch() at 1800s boundaries.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w_ord)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = F.sum(new_sess).over(
         w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (ev.withColumn("session_id", sess)
@@ -372,7 +422,7 @@ W2_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (

@@ -14,14 +14,21 @@ double-cast arrays — then rounded to 4 decimals.
 
 Scale notes: brute force is a broadcast of K query vectors against N rows
 (no shuffle; embarrassingly parallel). The LSH variant buckets both sides by
-hyperplane sign bits so each query probes ~N/2^bits rows; hyperplanes are
-deterministic functions of (plane, dim) via xxhash64 — no stored model.
+hyperplane sign bits so each query probes ~N/2^bits rows; hyperplanes are a
+deterministic seeded Gaussian matrix materialized once per worker inside a
+vectorized pandas UDF (one NumPy matmul per Arrow batch) — no stored model,
+no driver-side action, and the plan size is independent of the embedding
+dimension (a per-dimension literal expression tree would explode at 768+).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
 from sanskrit_ocr_spark.ops.relational import t
@@ -117,28 +124,40 @@ WHERE a.vec_id < {NEARDUP_SUBSET} AND b.vec_id < {NEARDUP_SUBSET}
 
 # --- LSH-bucketed ANN (scale path; rows-only) -------------------------------------
 
-def _hyperplane(plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane as a literal double array:
-    weight(p, d) = pmod(xxhash64(p, d), 2001)/1000 - 1 ∈ [-1, 1]."""
-    return F.array(*[
-        (F.pmod(F.xxhash64(F.lit(plane), F.lit(d)), F.lit(2001))
-         .cast("double") / 1000.0 - 1.0)
-        for d in range(dim)
-    ])
+_PLANES_SEED = 0x5EED1519
+_PLANES_CACHE: dict[int, np.ndarray] = {}
 
 
-def _bucketed(df: DataFrame, dim: int) -> DataFrame:
-    bucket = F.lit(0)
-    for p in range(LSH_PLANES):
-        bit = (_dot(F.col("e"), _hyperplane(p, dim)) >= 0).cast("int")
-        bucket = bucket * 2 + bit
-    return df.withColumn("bucket", bucket)
+def _planes(dim: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes, (LSH_PLANES, dim) — identical on
+    every worker (seeded), materialized lazily per embedding dimension."""
+    if dim not in _PLANES_CACHE:
+        rng = np.random.default_rng(_PLANES_SEED)
+        _PLANES_CACHE[dim] = rng.standard_normal((LSH_PLANES, dim))
+    return _PLANES_CACHE[dim]
+
+
+# DataType object (not a DDL string): a string return type would need an
+# active SparkContext to parse at import time.
+@pandas_udf(IntegerType())
+def _lsh_bucket(emb: pd.Series) -> pd.Series:
+    """Sign-bit bucket of each embedding: one (batch × dim) @ (dim × planes)
+    matmul per Arrow batch; dimension discovered from the batch itself."""
+    if len(emb) == 0:
+        return pd.Series([], dtype="int32")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    bits = (mat @ _planes(mat.shape[1]).T) >= 0.0
+    weights = 1 << np.arange(LSH_PLANES - 1, -1, -1)
+    return pd.Series((bits @ weights).astype(np.int32))
+
+
+def _bucketed(df: DataFrame) -> DataFrame:
+    return df.withColumn("bucket", _lsh_bucket(F.col("e")))
 
 
 def ann_lsh_topk(spark, sf):
     emb = t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").head()["embedding"])
-    base = _bucketed(_emb_double(emb, "vec_id", "e"), dim)
+    base = _bucketed(_emb_double(emb, "vec_id", "e"))
     # multiprobe: the query searches its own bucket plus every bucket at
     # Hamming distance 1 (sign flips near the hyperplane are the common
     # nearest-neighbor miss mode)
@@ -147,7 +166,7 @@ def ann_lsh_topk(spark, sf):
                        for i in range(LSH_PLANES)])
     queries = F.broadcast(
         _bucketed(_emb_double(emb.filter(F.col("vec_id").isin(*QUERY_IDS)),
-                              "q_id", "e"), dim)
+                              "q_id", "e"))
         .select(F.col("q_id"), F.col("e").alias("qe"),
                 F.explode(probes).alias("qbucket")))
     scored = (base.join(queries, base.bucket == queries.qbucket)

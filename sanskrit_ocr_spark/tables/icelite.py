@@ -154,18 +154,28 @@ class IceliteTable:
         (deterministic — the reference's stream-order first-wins semantics,
         h5_to_parquet.py:45-48, made key-based). The anti-join's broadcast vs
         sort-merge choice is left to AQE.
+
+        The inserted-row count comes from an ``Observation`` on the write
+        job itself — ONE job per merge, not a count() pass followed by a
+        recomputation of the anti-join for the write.
         """
+        from pyspark.sql import Observation
+
         if order_col:
-            w = Window.partitionBy(key).orderBy(F.col(order_col).asc(),
-                                                F.col(key).asc())
+            # hash-first window key (cheap 8-byte comparisons; the key
+            # column itself remains in the partition for collision safety)
+            w = Window.partitionBy(F.xxhash64(key), key) \
+                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
             df = (df.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1).drop("__rn"))
         else:
             df = df.dropDuplicates([key])
         existing = self.read().select(key)
-        fresh = df.join(existing, key, "left_anti")
-        inserted = fresh.count()
+        obs = Observation()
+        fresh = (df.join(existing, key, "left_anti")
+                 .observe(obs, F.count(F.lit(1)).alias("inserted")))
         sid = self.append(fresh)
+        inserted = int(obs.get["inserted"])
         return sid, inserted
 
     # -- maintenance ------------------------------------------------------------
