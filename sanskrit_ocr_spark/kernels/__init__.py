@@ -12,7 +12,10 @@ from sanskrit_ocr_spark.kernels.devanagari import (
     grapheme_clusters,
     sentence_spans,
 )
-from sanskrit_ocr_spark.kernels.htmlx import extract_html
+# Public extract_html IS the implementation the pipeline runs (the fast
+# scanner with stdlib-parser fallback); htmlx.extract_html remains
+# importable as the reference-only differential baseline.
+from sanskrit_ocr_spark.kernels.htmlfast import extract_html_fast as extract_html
 from sanskrit_ocr_spark.kernels.pdfish import extract_pdf_layout
 from sanskrit_ocr_spark.kernels.page import extract_page
 
