@@ -97,3 +97,48 @@ def test_lineage_counts(spark, pages):
         assert all(r["doc_count"] == r["s"] for r in per_part)
     finally:
         ext.unpersist()
+
+
+def test_x_fixture_oracles_are_fresh(spark):
+    """The committed golden_x1_500/golden_x2_500 fixtures (the DuckDB oracle
+    side of x1_extract_pages / x2_lineage) must match what the pipeline
+    produces today — regenerate via tools/regen_fixtures.py in the same
+    commit as any intentional semantics change."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    q = entrymod.queries()
+    for name, fname, key in [
+            ("x1_extract_pages", "golden_x1_500.parquet", ["url"]),
+            ("x2_lineage", "golden_x2_500.parquet",
+             ["partition_hash", "fail_code"])]:
+        got = (q[name](spark, "unused").toPandas()
+               .sort_values(key).reset_index(drop=True))
+        want = (pd.read_parquet(os.path.join(fixdir, fname))
+                .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_k4_jsonl_caption_sink(spark, pages, tmp_path):
+    """K4 (reference generate_dataset.py:41-42): captions written as JSON
+    lines with raw UTF-8 (the ensure_ascii=False analog is Spark's default
+    JSON writer behavior) and lossless on re-read."""
+    import glob
+
+    ext = extract_pages(pages)
+    captions = ext.filter(F.col("status") == "OK").select("url", "text")
+    out = str(tmp_path / "captions_jsonl")
+    captions.coalesce(2).write.mode("overwrite").json(out)
+
+    back = spark.read.schema("url string, text string").json(out)
+    got = sorted((r["url"], r["text"]) for r in back.collect())
+    want = sorted((r["url"], r["text"]) for r in captions.collect())
+    assert got == want and len(got) > 0
+
+    raw = b"".join(open(p, "rb").read()
+                   for p in glob.glob(f"{out}/part-*.json"))
+    # one JSON object per line, Devanagari as raw UTF-8 bytes (no \uXXXX)
+    assert "क".encode() in raw or "त".encode() in raw
+    assert b"\\u09" not in raw

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Regenerate the committed golden fixtures under tests/fixtures/.
+
+Run this IN THE SAME COMMIT as any intentional change to extraction
+semantics (kernels/, datagen/pages.py) and say why in the commit message —
+the fixtures pin byte-identity (BASELINE.json input_hint: "byte-identical
+extracted text per url").
+
+Fixtures:
+
+* ``golden_extracted_300.parquet`` — pure-kernel outputs for the first 300
+  synthetic pages (no Spark; tests/test_golden_fixture.py).
+* ``golden_x1_500.parquet`` / ``golden_x2_500.parquet`` — expected outputs
+  of the ``x1_extract_pages`` / ``x2_lineage`` driver queries (Spark run at
+  500 pages); used as the DuckDB oracle side for those queries, and pinned
+  by tests/test_extract_spark.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pandas as pd
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXDIR = os.path.join(ROOT, "tests", "fixtures")
+sys.path.insert(0, ROOT)
+
+
+def regen_kernel_golden() -> None:
+    from sanskrit_ocr_spark.datagen.pages import pages_pandas
+    from sanskrit_ocr_spark.kernels.page import extract_page
+
+    rows, seen = [], set()
+    for _, r in pages_pandas(0, 300).iterrows():
+        if r["url"] in seen:  # duplicate-url rows: first wins, like MERGE
+            continue
+        seen.add(r["url"])
+        t, sp, n, st = extract_page(r["html"])
+        rows.append({
+            "url": r["url"],
+            "text": t,
+            "sentences_json": json.dumps(
+                [{"start": a, "end": b} for a, b in sp]),
+            "n_graphemes": n,
+            "status": st,
+        })
+    out = os.path.join(FIXDIR, "golden_extracted_300.parquet")
+    pd.DataFrame(rows).to_parquet(out, index=False)
+    print(f"wrote {out} ({len(rows)} rows)")
+
+
+def regen_driver_golden() -> None:
+    from sanskrit_ocr_spark.conf import build_spark
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(app="regen-fixtures", master="local[8]",
+                        shuffle_partitions=8,
+                        extra={"spark.ui.enabled": "false"})
+    try:
+        q = entrymod.queries()
+        for name, fname in [("x1_extract_pages", "golden_x1_500.parquet"),
+                            ("x2_lineage", "golden_x2_500.parquet")]:
+            pdf = q[name](spark, "unused-sf-dir").toPandas()
+            out = os.path.join(FIXDIR, fname)
+            pdf.to_parquet(out, index=False)
+            print(f"wrote {out} ({len(pdf)} rows)")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    regen_kernel_golden()
+    regen_driver_golden()
