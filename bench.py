@@ -62,7 +62,7 @@ def main() -> int:
         "p1_content_filter", "d1_dedup_first_wins", "q1_pricing_summary",
         "q3_top_revenue", "j_broadcast_dims", "w2_sessionize",
         "dedup_exact_hash", "dedup_minhash_lsh", "ann_cosine_topk",
-        "ts_fingerprint",
+        "ts_fingerprint", "mm_feature_extract",
     ]
 
     timings: dict[str, float] = {}

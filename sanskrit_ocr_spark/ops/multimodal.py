@@ -1,15 +1,26 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: real PNG payloads + typed metadata, Arrow-batched.
 
-The reference stores document images as PNG files on disk next to a JSONL
-caption table (``generate_dataset.py:36-42``); the Spark-native shape is a
-``binary`` column with typed metadata columns, processed by Arrow-batched
-``mapInPandas`` UDFs. The image/audio codec libraries are NOT installed in
-this container, so the decode step is a clearly-marked STUB behind an
-import-try (deterministic fake features from the payload bytes); the
-Spark-side plumbing — schema, batch shape, partitioning — is real and tested.
+The reference's multimodal artifact is a real PNG per document plus a
+caption record (``render_text.py:148,276``, ``generate_dataset.py:36-42``).
+Spark-native shape: an opaque ``binary`` column processed by vectorized
+``mapInPandas`` UDFs. Since round 2 the decode path is REAL — a pure-stdlib
+PNG codec (``kernels/png.py``) and a deterministic renderer
+(``datagen/images.py``) replace the round-1 digest stubs:
 
-``mm_binary_meta`` is the oracle-checkable slice (pure byte metadata);
-``mm_feature_extract`` exercises the full stub-decode UDF (rows-only).
+* ``mm_binary_meta``     — JVM-side byte metadata (SQL oracle);
+* ``mm_feature_extract`` — render → decode → true geometry + pixel mean;
+* ``mm_resize``          — decode → nearest-neighbor resample → re-encode;
+* ``mm_frame_sample``    — multi-frame container → every-Nth real frame
+  (explode-shaped output: rows out ≠ rows in).
+
+The three decode queries are pinned by committed golden fixtures (the
+DuckDB oracle side reads the expected parquet — a regression pin like
+``golden_x1_500``, regenerated via ``tools/regen_fixtures.py``), and by
+pytest checks against independent numpy computations.
+
+Scale notes: one render stage and one decode stage, both Arrow-batched
+maps with no shuffle between them; at 100 TB the payload column arrives
+from storage instead of the render stage and the decode plan is unchanged.
 """
 
 from __future__ import annotations
@@ -17,17 +28,18 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sanskrit_ocr_spark.datagen.images import (
+    decode_frames,
+    render_clip,
+    render_text_png,
+)
+from sanskrit_ocr_spark.kernels.png import decode_png, encode_png
 from sanskrit_ocr_spark.ops.relational import t
-
-try:  # real decoder, if ever available in the runtime image
-    import PIL.Image  # noqa: F401
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 # --- oracle-checkable byte metadata ----------------------------------------------
@@ -49,34 +61,42 @@ FROM documents
 """
 
 
-# --- stub decode / feature extraction ---------------------------------------------
+# --- render stage (datagen analog: text → real PNG payload column) --------------
 
-def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """STUB: deterministic fake (width, height, mean_luma) from the payload
-    digest. Replace with a real codec (PIL/ffmpeg) on a runtime image that
-    ships one — the UDF signature, schema and batch shape stay identical."""
-    if _HAVE_PIL:
-        # Real path intentionally unimplemented in this sandbox: the synthetic
-        # payloads are not real images. Kept as the seam for production.
-        raise NotImplementedError("real image decode not wired in sandbox")
-    d = hashlib.md5(payload).digest()
-    width = 64 + d[0]            # 64..319 px
-    height = 64 + d[1]
-    mean_luma = round(d[2] / 255.0, 4)
-    return width, height, mean_luma
-
-
-def feature_extract(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
-    """Arrow-batched stub feature extraction over an opaque binary column."""
+def render_page_images(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text) → (id, image:binary) — a real PNG per row."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf[binary_col]]
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "width": pd.array([f[0] for f in feats], dtype="int32"),
-                "height": pd.array([f[1] for f in feats], dtype="int32"),
-                "mean_luma": [f[2] for f in feats],
+                "image": [render_text_png(s) for s in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        body, schema=f"{id_col} long, image binary")
+
+
+# --- real decode / feature extraction ---------------------------------------------
+
+def feature_extract(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Arrow-batched REAL decode of a PNG binary column: geometry from
+    IHDR, mean luma from the decoded pixel buffer."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, lumas = [], [], []
+            for p in pdf[binary_col]:
+                w, h, _, pix = decode_png(bytes(p))
+                ws.append(w)
+                hs.append(h)
+                lumas.append(round(float(np.frombuffer(pix, np.uint8).mean())
+                                   / 255.0, 4))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "mean_luma": lumas,
             })
 
     return df.select(id_col, binary_col).mapInPandas(
@@ -84,76 +104,105 @@ def feature_extract(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
 
 
 def mm_feature_extract(spark, sf):
-    docs = (t(spark, sf, "documents")
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
-    return feature_extract(docs, "payload", "doc_id")
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return feature_extract(render_page_images(docs, "text", "doc_id"),
+                           "image", "doc_id")
 
 
-# --- stub resize / frame-sample (typed plumbing for image & video columns) -----
+# --- real resize (decode → nearest-neighbor resample → re-encode) ----------------
 
 def resize(df: DataFrame, binary_col: str, id_col: str,
-           target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """STUB resize: emits a deterministic fake thumbnail payload of the
-    target geometry (md5-keyed) plus the typed metadata a real codec path
-    would produce. Schema/batching identical to a production PIL resize."""
+           target_w: int = 24, target_h: int = 16) -> DataFrame:
+    """Decode each PNG, nearest-neighbor resample to the target geometry,
+    re-encode as a real PNG thumbnail."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs, ws, hs = [], [], []
+            thumbs = []
             for p in pdf[binary_col]:
-                d = hashlib.md5(bytes(p)).digest()
-                # fake thumbnail: digest tiled to target_w*target_h/64 bytes
-                thumbs.append((d * (target_w * target_h // (64 * len(d)) + 1)
-                               )[: target_w * target_h // 64])
-                ws.append(target_w)
-                hs.append(target_h)
+                w, h, ch, pix = decode_png(bytes(p))
+                arr = np.frombuffer(pix, np.uint8).reshape(h, w * ch)
+                if ch > 1:
+                    arr = arr.reshape(h, w, ch)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                small = arr[ys][:, xs]
+                thumbs.append(encode_png(small.tobytes(), target_w, target_h,
+                                         channels=ch))
             yield pd.DataFrame({
                 id_col: pdf[id_col], "thumb": thumbs,
-                "width": pd.array(ws, dtype="int32"),
-                "height": pd.array(hs, dtype="int32"),
+                "width": pd.array([target_w] * len(thumbs), dtype="int32"),
+                "height": pd.array([target_h] * len(thumbs), dtype="int32"),
             })
 
     return df.select(id_col, binary_col).mapInPandas(
         body, schema=f"{id_col} long, thumb binary, width int, height int")
 
 
+def mm_resize(spark, sf):
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    thumbs = resize(render_page_images(docs, "text", "doc_id"),
+                    "image", "doc_id")
+    # md5 of the thumbnail payload: driver-hashable (binary columns are not)
+    return thumbs.select("doc_id", "width", "height",
+                         F.md5("thumb").alias("thumb_md5"))
+
+
+# --- real frame sampling (explode-shaped: rows out ≠ rows in) ---------------------
+
 def frame_sample(df: DataFrame, binary_col: str, id_col: str,
-                 every_n: int = 10) -> DataFrame:
-    """STUB video frame sampling: one output row per sampled frame index
-    (explode-shaped UDF output — rows out ≠ rows in, the mapInPandas
-    contract a real ffmpeg frame sampler needs)."""
+                 every_n: int = 3) -> DataFrame:
+    """MOVF multi-frame container → one output row per sampled frame,
+    each a real decoded-and-verified PNG."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, ws, hs = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
-                payload = bytes(p)
-                n_frames = 1 + len(payload) % 50  # fake stream length
-                for k in range(0, n_frames, every_n):
+                all_frames = decode_frames(bytes(p))
+                for k in range(0, len(all_frames), every_n):
+                    w, h, _, _pix = decode_png(all_frames[k])
                     ids.append(i)
                     idxs.append(k)
-                    frames.append(hashlib.md5(payload + bytes([k % 256]))
-                                  .digest())
+                    frames.append(all_frames[k])
+                    ws.append(w)
+                    hs.append(h)
             yield pd.DataFrame({
                 id_col: pd.array(ids, dtype="int64"),
                 "frame_idx": pd.array(idxs, dtype="int32"),
                 "frame": frames,
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
             })
 
     return df.select(id_col, binary_col).mapInPandas(
-        body, schema=f"{id_col} long, frame_idx int, frame binary")
+        body,
+        schema=f"{id_col} long, frame_idx int, frame binary,"
+               " width int, height int")
 
 
-def mm_resize(spark, sf):
-    docs = (t(spark, sf, "documents")
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
-    return resize(docs, "payload", "doc_id")
+def render_clips(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text) → (id, clip:binary): a MOVF container of real PNG frames;
+    frame count varies deterministically with the text length."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "clip": [render_clip(s, 2 + len(s) % 9)
+                         for s in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        body, schema=f"{id_col} long, clip binary")
 
 
 def mm_frame_sample(spark, sf):
-    docs = (t(spark, sf, "documents")
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
-    return frame_sample(docs, "payload", "doc_id")
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    sampled = frame_sample(render_clips(docs, "text", "doc_id"),
+                           "clip", "doc_id")
+    return sampled.select("doc_id", "frame_idx", "width", "height",
+                          F.md5("frame").alias("frame_md5"))
 
 
 QUERIES = {
@@ -163,7 +212,17 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
 }
 
+_FX = "/root/repo/tests/fixtures"
+
 ORACLES = {
     "mm_binary_meta": META_SQL,
-    # mm_feature_extract: stub decode is not SQL-expressible — rows-only.
+    # Golden-fixture oracles (regression pins — the fixtures are committed
+    # outputs of this code over the sf0.01 documents table; regenerate via
+    # tools/regen_fixtures.py with any intentional semantics change):
+    "mm_feature_extract":
+        f"SELECT * FROM read_parquet('{_FX}/golden_mm_features_sf001.parquet')",
+    "mm_resize":
+        f"SELECT * FROM read_parquet('{_FX}/golden_mm_resize_sf001.parquet')",
+    "mm_frame_sample":
+        f"SELECT * FROM read_parquet('{_FX}/golden_mm_frames_sf001.parquet')",
 }

@@ -41,10 +41,16 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
+# Golden-fixture oracles are pinned at the driver's sf0.01 scale; run those
+# queries at sf0.01 here too (x1/x2 ignore the sf dir entirely).
+SF_OVERRIDE = {name: "/root/testdata/sf0.01"
+               for name in ("mm_feature_extract", "mm_resize",
+                            "mm_frame_sample")}
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, con, name):
-    sdf = _norm(QUERIES[name](spark, SF).toPandas())
+    sdf = _norm(QUERIES[name](spark, SF_OVERRIDE.get(name, SF)).toPandas())
     ddf = _norm(con.sql(ORACLES[name]).df())
     assert list(sdf.columns) == list(ddf.columns), "schema mismatch"
     assert len(sdf) == len(ddf), "row count mismatch"

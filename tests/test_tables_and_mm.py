@@ -43,26 +43,61 @@ def test_salting_spreads_mega_host(spark):
     assert max(counts) <= 4 * (sum(counts) / len(counts))
 
 
-def test_resize_stub_schema_and_determinism(spark):
+def test_feature_extract_matches_independent_numpy(spark):
+    """The Spark decode path must agree with a direct local decode+numpy
+    computation on the same real PNG payloads."""
+    import numpy as np
+
+    from sanskrit_ocr_spark.kernels.png import decode_png
+    from sanskrit_ocr_spark.ops.multimodal import (feature_extract,
+                                                   render_page_images)
+
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-            .limit(50))
-    out = resize(docs, "payload", "doc_id", target_w=64, target_h=64)
+            .select("doc_id", "text").limit(40))
+    imgs = render_page_images(docs, "text", "doc_id")
+    got = {r["doc_id"]: (r["width"], r["height"], r["mean_luma"])
+           for r in feature_extract(imgs, "image", "doc_id").collect()}
+    local = {r["doc_id"]: bytes(r["image"]) for r in imgs.collect()}
+    assert len(got) == 40
+    for doc_id, png in local.items():
+        w, h, _, pix = decode_png(png)
+        want = round(float(np.frombuffer(pix, np.uint8).mean()) / 255.0, 4)
+        assert got[doc_id] == (w, h, want)
+        assert 0.0 < want < 1.0  # ink + background, never flat
+
+
+def test_resize_real_thumbnail(spark):
+    from sanskrit_ocr_spark.kernels.png import decode_png
+    from sanskrit_ocr_spark.ops.multimodal import render_page_images
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(30))
+    imgs = render_page_images(docs, "text", "doc_id")
+    out = resize(imgs, "image", "doc_id", target_w=24, target_h=16)
     rows = {r["doc_id"]: bytes(r["thumb"]) for r in out.collect()}
     rows2 = {r["doc_id"]: bytes(r["thumb"]) for r in out.collect()}
-    assert rows == rows2 and len(rows) == 50
-    assert all(len(v) == 64 * 64 // 64 for v in rows.values())
+    assert rows == rows2 and len(rows) == 30  # deterministic
+    for thumb in rows.values():
+        w, h, c, pix = decode_png(thumb)  # thumbnails are real PNGs
+        assert (w, h, c) == (24, 16, 1)
+        assert len(pix) == 24 * 16
 
 
 def test_frame_sample_explodes_rows(spark):
+    from sanskrit_ocr_spark.ops.multimodal import render_clips
+
     docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-            .limit(20))
-    out = frame_sample(docs, "payload", "doc_id", every_n=5).collect()
+            .select("doc_id", "text").limit(20))
+    clips = render_clips(docs, "text", "doc_id")
+    out = frame_sample(clips, "clip", "doc_id", every_n=5).collect()
     assert len(out) >= 20  # at least one frame per doc
     per_doc = {}
     for r in out:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for idxs in per_doc.values():
-        assert sorted(idxs) == idxs or sorted(idxs) == sorted(set(idxs))
         assert all(i % 5 == 0 for i in idxs)
+    # frames are real PNGs with the renderer's canvas width
+    from sanskrit_ocr_spark.kernels.png import png_geometry
+    for r in out[:10]:
+        w, h, c = png_geometry(bytes(r["frame"]))
+        assert (w, c) == (96, 1) and (r["width"], r["height"]) == (w, h)
