@@ -19,8 +19,20 @@ corpus is identical regardless of partitioning, ordering, or executor count.
 
 Row inventory per block of 100 doc_ids (FIXTURES.md §A1):
 
-* 00-59  plain HTML Devanagari (lang=sa)
-* 60-69  PDF-FAKE word-box payload (69 = two-column, exercises XY-cut)
+* 00-54  plain HTML Devanagari (lang=sa)
+* 55-59  degraded-markup HTML (L10 analog — unclosed tags, attribute junk,
+         noscript/svg chrome, bogus + unterminated comments, stray '<' and
+         tolerant end tags; extraction must still be byte-identical)
+* 60-64  PDF-FAKE word-box payload (clean layout)
+* 65     PDF with per-word/baseline jitter (L5, render_text.py:198-216 —
+         absorbed by the 50%-overlap line clustering)
+* 66     PDF with per-word ±2° rotation bbox inflation (L6,
+         render_text.py:221-243 — absorbed)
+* 67     PDF with washboard warp (L9, render_text.py:311-331 — beyond
+         recovery: kernel must fail cleanly → PARSE_FAIL)
+* 68     PDF with cylindrical edge warp (L8, render_text.py:269-308 —
+         PARSE_FAIL)
+* 69     two-column PDF (exercises XY-cut)
 * 70-79  mixed-script page (lang=en distractor; Devanagari filter bites)
 * 80-84  duplicate-*text* rows (first-wins dedup semantics, D1)
 * 85-87  empty-after-clean (pure-ASCII body → status EMPTY, F1)
@@ -35,6 +47,7 @@ Row inventory per block of 100 doc_ids (FIXTURES.md §A1):
 from __future__ import annotations
 
 import json
+import math
 import random
 import unicodedata
 from datetime import datetime, timedelta
@@ -113,7 +126,32 @@ def _boilerplate_footer(rng: random.Random) -> str:
     )
 
 
-def _html_page(rng: random.Random, body_text: str, extra_en: str = "") -> bytes:
+def _degrade_markup(page: str, mode: int) -> str:
+    """L10-analog markup degradations (post-transforms over a rendered
+    page, like render_text.py:334-411 over a rendered image). Every mode
+    must leave the post-Devanagari-filter extraction byte-identical —
+    that's the robustness contract the goldens pin."""
+    if mode == 0:    # unclosed paragraphs: tolerant block flushing
+        return page.replace("</p>", "")
+    if mode == 1:    # attribute junk incl. a quoted '>' inside a value
+        return page.replace(
+            "<p>", "<p class=\"deg\" data-x='a>b' style=\"\">")
+    if mode == 2:    # chrome inside ignore elements: tags parsed, data
+        # suppressed (the htmlfast/htmlx parity surface from ADVICE r01)
+        return page.replace(
+            "<body>",
+            "<body><noscript><ul><li><a href='/nojs'>स्क्रिप्ट</a>"
+            "</li></ul></noscript><svg><text>decor</text></svg>")
+    if mode == 3:    # bogus comment + unterminated trailing comment
+        return page.replace("<main>", "<!x><main>") + "<!-- truncated tail"
+    if mode == 4:    # stray '<' character data + tolerant end tag
+        return (page.replace("</article>", "</article x>")
+                .replace("<footer>", "< <footer>"))
+    return page
+
+
+def _html_page(rng: random.Random, body_text: str, extra_en: str = "",
+               degrade: int | None = None) -> bytes:
     paras = "".join(
         f"<p>{line}</p>" for line in body_text.split("\n")
     )
@@ -129,6 +167,8 @@ def _html_page(rng: random.Random, body_text: str, extra_en: str = "") -> bytes:
         f"<main><article>{extra_en}{paras}</article></main>"
         f"{_boilerplate_footer(rng)}</body></html>"
     )
+    if degrade is not None:
+        page = _degrade_markup(page, degrade)
     return page.encode("utf-8")
 
 
@@ -175,7 +215,62 @@ def _layout_words(text: str, font_size: int, x_shift: float = 0.0,
     return boxes, y
 
 
-def _pdf_payload(rng: random.Random, text: str, two_column: bool = False) -> bytes:
+def _jitter_boxes(rng: random.Random, boxes: list[list[object]]) -> list[list[object]]:
+    """L5 (render_text.py:198-199,207-216): per-line baseline shift ±2 plus
+    per-word ±1.5 x / ±1 y — within the kernel's 50%-overlap clustering
+    tolerance and the 6px space advance, so extraction stays byte-exact."""
+    baselines: dict[float, float] = {}
+    out = []
+    for w, x0, y0, x1, y1 in boxes:
+        if y0 not in baselines:
+            baselines[y0] = rng.uniform(-2.0, 2.0)
+        db = baselines[y0]
+        dx, dy = rng.uniform(-1.5, 1.5), rng.uniform(-1.0, 1.0)
+        out.append([w, x0 + dx, y0 + db + dy, x1 + dx, y1 + db + dy])
+    return out
+
+
+def _rotate_boxes(rng: random.Random, boxes: list[list[object]]) -> list[list[object]]:
+    """L6 (render_text.py:221-243): ±2° per-word rotation — in box-land the
+    axis-aligned bbox inflates around the center; small enough that line
+    clustering and within-line x-order survive."""
+    out = []
+    for w, x0, y0, x1, y1 in boxes:
+        th = math.radians(rng.uniform(-2.0, 2.0))
+        cw, ch = x1 - x0, y1 - y0
+        nw = cw * abs(math.cos(th)) + ch * abs(math.sin(th))
+        nh = cw * abs(math.sin(th)) + ch * abs(math.cos(th))
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        out.append([w, cx - nw / 2, cy - nh / 2, cx + nw / 2, cy + nh / 2])
+    return out
+
+
+def _washboard_boxes(boxes: list[list[object]],
+                     amp: float = 12.0, wavelength: float = 120.0) -> list[list[object]]:
+    """L9 (render_text.py:311-331): sinusoidal vertical ripple —
+    deliberately beyond the clustering tolerance; the kernel must refuse
+    to emit garbled reading order (→ PARSE_FAIL)."""
+    out = []
+    for w, x0, y0, x1, y1 in boxes:
+        dy = amp * math.sin(2 * math.pi * ((x0 + x1) / 2.0) / wavelength)
+        out.append([w, x0, y0 + dy, x1, y1 + dy])
+    return out
+
+
+def _cylinder_boxes(boxes: list[list[object]], amp: float = 18.0) -> list[list[object]]:
+    """L8 (render_text.py:269-308): cylindrical edge curl — displacement
+    grows quadratically toward the page edges (→ PARSE_FAIL)."""
+    cx = PAGE_W / 2.0
+    out = []
+    for w, x0, y0, x1, y1 in boxes:
+        t = (((x0 + x1) / 2.0) - cx) / cx
+        dy = amp * t * t
+        out.append([w, x0, y0 + dy, x1, y1 + dy])
+    return out
+
+
+def _pdf_payload(rng: random.Random, text: str, two_column: bool = False,
+                 degrade: str | None = None) -> bytes:
     from sanskrit_ocr_spark.kernels.pdfish import PDF_MAGIC
 
     font_size = rng.randint(12, 18)  # render_text.py:455-456
@@ -198,6 +293,14 @@ def _pdf_payload(rng: random.Random, text: str, two_column: bool = False) -> byt
             b2, _ = _layout_words(rest, font_size,
                                   y_start=y_end + 30.0)  # > Y_GAP_MIN block gap
             boxes += b2
+    if degrade == "jitter":
+        boxes = _jitter_boxes(rng, boxes)
+    elif degrade == "rotate":
+        boxes = _rotate_boxes(rng, boxes)
+    elif degrade == "washboard":
+        boxes = _washboard_boxes(boxes)
+    elif degrade == "cylinder":
+        boxes = _cylinder_boxes(boxes)
     rng.shuffle(boxes)  # arbitrary storage order: the kernel must re-sort
     return PDF_MAGIC + json.dumps({"words": boxes}, ensure_ascii=False).encode("utf-8")
 
@@ -267,12 +370,16 @@ def _row(doc_id: int) -> dict:
         text = dev
         mixed = f"Intro paragraph in English only. {dev} And a trailing clause."
         html = _html_page(rng, mixed)
-    elif kind >= 60:  # PDF-FAKE payload
+    elif kind >= 60:  # PDF-FAKE payload (65-68 = L5/L6/L9/L8 degradations)
         text = _doc_text(rng, rng.randint(4, 10))
-        html = _pdf_payload(rng, text, two_column=(kind == 69))
-    else:  # plain HTML Devanagari
+        variant = {65: "jitter", 66: "rotate",
+                   67: "washboard", 68: "cylinder"}.get(kind)
+        html = _pdf_payload(rng, text, two_column=(kind == 69),
+                            degrade=variant)
+    else:  # plain HTML Devanagari (55-59 = degraded-markup variants)
         text = _doc_text(rng, rng.randint(3, 10))
-        html = _html_page(rng, text)
+        html = _html_page(rng, text,
+                          degrade=(kind - 55) if kind >= 55 else None)
 
     return {"url": url, "warc_ts": warc_ts, "html": html,
             "text": text, "lang": lang}

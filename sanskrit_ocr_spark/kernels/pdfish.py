@@ -40,6 +40,13 @@ PDF_MAGIC = b"%PDF-FAKE\n"
 Y_GAP_MIN = 18.0
 X_GAP_MIN = 24.0
 LINE_OVERLAP = 0.5
+# Layout-sanity bound: a warped page (cylindrical/washboard degradations,
+# render_text.py:269-331) chain-merges distinct text lines into one tall
+# cluster. A legitimate line's vertical extent is one word height plus
+# small jitter/rotation inflation (≤ ~1.4×); past this ratio the reading
+# order would be garbled, so the kernel fails cleanly instead (→ the
+# caller's PARSE_FAIL, the reference-degradation failure-code contract).
+WARP_EXTENT_RATIO = 2.0
 
 Box = tuple[str, float, float, float, float]
 
@@ -97,6 +104,9 @@ def _lines(leaf: list[Box]) -> list[list[Box]]:
                 break
         if not placed:
             lines.append((b[2], b[4], [b]))
+    for ly0, ly1, words in lines:
+        if ly1 - ly0 > WARP_EXTENT_RATIO * max(b[4] - b[2] for b in words):
+            raise ValueError("incoherent line clustering (warped layout)")
     lines.sort(key=lambda l: (l[0] + l[1]) / 2.0)
     return [sorted(ws, key=lambda b: b[1]) for _, _, ws in lines]
 

@@ -33,8 +33,10 @@ def test_roundtrip_wellformed_rows():
     checked = 0
     for i, row in df.iterrows():
         kind = i % 100
-        if kind in (88, 89) or 85 <= kind <= 87:
-            continue  # failure rows, no round-trip contract
+        if kind in (67, 68, 88, 89) or 85 <= kind <= 87:
+            continue  # failure rows (incl. warped PDFs), no round-trip
+        # NB: degraded-but-recoverable rows (55-59 markup damage, 65 jitter,
+        # 66 rotation) stay IN the contract — robustness means byte-equal.
         expected, exp_spans, exp_n = devanagari_post(row["text"])
         got_text, got_spans, got_n, status = extract_page(row["html"])
         assert status == STATUS_OK, (i, status)
@@ -42,7 +44,7 @@ def test_roundtrip_wellformed_rows():
         assert got_spans == exp_spans
         assert got_n == exp_n
         checked += 1
-    assert checked >= 280
+    assert checked >= 270
 
 
 def test_failure_rows_statuses():
@@ -52,7 +54,9 @@ def test_failure_rows_statuses():
         status = extract_page(row["html"])[3]
         if kind == 88:
             assert status == STATUS_DECODE_FAIL
-        elif kind == 89:
+        elif kind in (67, 68, 89):
+            # 67/68: warped layouts (L9/L8) must fail cleanly, never emit
+            # garbled reading order; 89: corrupt JSON
             assert status == STATUS_PARSE_FAIL
         elif 85 <= kind <= 87:
             assert status == STATUS_EMPTY

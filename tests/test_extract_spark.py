@@ -86,11 +86,12 @@ def test_lineage_counts(spark, pages):
         by_code = {r["fail_code"]: r["n"] for r in
                    lin.groupBy("fail_code")
                    .agg(F.sum("fail_count").alias("n")).collect()}
-        # inventory per 100-row block: 1 DECODE_FAIL, 1 PARSE_FAIL, 3 EMPTY
+        # inventory per 100-row block: 1 DECODE_FAIL, 3 PARSE_FAIL (corrupt
+        # JSON + washboard + cylinder warp), 3 EMPTY
         assert by_code["DECODE_FAIL"] == 3
-        assert by_code["PARSE_FAIL"] == 3
+        assert by_code["PARSE_FAIL"] == 9
         assert by_code["EMPTY"] == 9
-        assert by_code["OK"] == N - 15
+        assert by_code["OK"] == N - 21
         # per-partition doc_count equals the sum of its fail_counts
         per_part = (lin.groupBy("partition_hash", "doc_count")
                     .agg(F.sum("fail_count").alias("s")).collect())
