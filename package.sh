@@ -1,5 +1,8 @@
 #!/bin/sh
 # Build the spark-submit artifact: dist/sanskrit_ocr_spark.zip for --py-files.
+# The zip is built at submit time and NOT committed (a committed artifact
+# goes stale the moment source changes — ADVICE r01); run this immediately
+# before spark-submit.
 set -e
 cd "$(dirname "$0")"
 mkdir -p dist
