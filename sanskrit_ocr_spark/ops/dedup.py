@@ -192,14 +192,35 @@ def release_caches() -> None:
         _SHINGLE_CACHE.pop().unpersist()
 
 
-def dedup_minhash_lsh(spark, sf):
+def cap_shingle_df(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles that appear in more than ``df_cap`` documents — the
+    hot-shingle guard for the verify join (VERDICT r01: a shingle shared
+    by millions of documents makes ``a.join(b, "sh")`` quadratic in that
+    shingle's document frequency at 100 TB; such shingles carry no
+    near-duplicate signal, so capping them is the standard stop-shingle
+    treatment). The capped universe applies to BOTH the signature and the
+    verify side, so the reported jaccard stays exact over that universe."""
+    hot = (sh.groupBy("sh").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > df_cap)
+           .select("sh"))
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def dedup_minhash_lsh(spark, sf, df_cap: int | None = None):
+    """MinHash+LSH near-dup pairs. ``df_cap``: optional document-frequency
+    cap on shingles (see ``cap_shingle_df``) — the 100 TB scale path; at
+    driver-test scale the default (None) keeps the shingle universe exact.
+    """
     docs = t(spark, sf, "documents")
     release_caches()
     # The shingle explode feeds both the signature groupBy and the verify
     # join — persist it so the tokenize/explode runs once, not twice. The
     # cache is scoped: released on the next invocation or via
     # ``release_caches()`` once the caller has materialized the result.
-    sh = _with_shingles(docs).persist()
+    sh = _with_shingles(docs)
+    if df_cap is not None:
+        sh = cap_shingle_df(sh, df_cap)
+    sh = sh.persist()
     _SHINGLE_CACHE.append(sh)
     cand = lsh_candidates(minhash_signatures(sh))
     return (_true_jaccard(sh, cand)

@@ -90,3 +90,31 @@ def test_exact_dedup_hash_groups(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert sum(r["n_copies"] for r in rows) == docs.count()
     assert all(r["n_copies"] >= 1 for r in rows)
+
+
+def test_minhash_df_cap_drops_hot_shingles_keeps_neardups(spark):
+    """The 100 TB skew guard: a shingle present in every document must be
+    droppable without losing planted near-duplicate pairs."""
+    import pandas as pd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [{"doc_id": 0, "text": "COMMON TOKEN " + base},
+            {"doc_id": 1, "text": "COMMON TOKEN " + base + " extra"},
+            *[{"doc_id": i, "text": f"COMMON TOKEN unique{i} body{i} "
+               f"words{i} here{i} now{i} again{i} more{i} stuff{i}"}
+              for i in range(2, 40)]]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sh = dedup._with_shingles(df)
+    # "COMMON TOKEN" bigram appears in all 40 docs
+    hot_df = (sh.groupBy("sh").count()
+              .filter(F.col("count") >= 40).count())
+    assert hot_df >= 1
+    capped = dedup.cap_shingle_df(sh, df_cap=20)
+    assert (capped.groupBy("sh").count()
+            .agg(F.max("count")).collect()[0][0] <= 20)
+    # near-dup pair 0/1 still found over the capped universe
+    cand = dedup.lsh_candidates(dedup.minhash_signatures(capped))
+    verified = (dedup._true_jaccard(capped, cand)
+                .filter(F.col("jaccard") >= 0.5).collect())
+    assert any((r["a_id"], r["b_id"]) == (0, 1) for r in verified)
