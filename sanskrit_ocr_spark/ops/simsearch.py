@@ -169,7 +169,12 @@ def ann_lsh_topk(spark, sf):
                               "q_id", "e"))
         .select(F.col("q_id"), F.col("e").alias("qe"),
                 F.explode(probes).alias("qbucket")))
-    scored = (base.join(queries, base.bucket == queries.qbucket)
+    # eqNullSafe, not ==: plain equality makes Catalyst infer an
+    # isnotnull(bucket) constraint that re-evaluates the bucketing UDF in a
+    # separate pushed filter (the UDF ran TWICE per row in the plan);
+    # buckets are never null, so <=> is semantically identical and keeps
+    # one ArrowEvalPython per side.
+    scored = (base.join(queries, base.bucket.eqNullSafe(queries.qbucket))
               .select("q_id", "vec_id",
                       F.round(_cosine(F.col("e"), F.col("qe")), 4).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
