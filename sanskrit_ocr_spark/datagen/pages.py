@@ -150,8 +150,23 @@ def _degrade_markup(page: str, mode: int) -> str:
     return page
 
 
+# L11 analog (render_text.py:429-436,455-456): the reference samples a page
+# style and maps it to an ink RGB + font size; HTML-land that's page chrome
+# (CSS), which extraction must ignore entirely.
+_PAGE_STYLES = {
+    "lined": ("#1a1a2e", "#ffffff"),
+    "old": ("#2e1a0a", "#f4ecd8"),
+    "birch": ("#101010", "#f8f4e8"),
+    "parchment": ("#3a2408", "#efe0b9"),
+}
+_STYLE_NAMES = sorted(_PAGE_STYLES)
+
+
 def _html_page(rng: random.Random, body_text: str, extra_en: str = "",
                degrade: int | None = None) -> bytes:
+    style = rng.choice(_STYLE_NAMES)
+    ink, bg = _PAGE_STYLES[style]
+    font_px = rng.randint(12, 18)  # render_text.py:455-456
     paras = "".join(
         f"<p>{line}</p>" for line in body_text.split("\n")
     )
@@ -162,8 +177,10 @@ def _html_page(rng: random.Random, body_text: str, extra_en: str = "",
     )
     page = (
         "<!DOCTYPE html><html><head><title>doc</title>"
-        "<style>body{margin:0}</style><script>var x=1;</script></head>"
-        f"<body>{_boilerplate_nav(rng)}{sidebar}"
+        "<style>body{margin:0;color:" + ink + ";background:" + bg
+        + ";font-size:" + str(font_px) + "px}</style>"
+        "<script>var x=1;</script></head>"
+        f'<body class="{style}">{_boilerplate_nav(rng)}{sidebar}'
         f"<main><article>{extra_en}{paras}</article></main>"
         f"{_boilerplate_footer(rng)}</body></html>"
     )

@@ -90,3 +90,25 @@ def test_host_skew_present():
 def test_warc_ts_monotone():
     df = _corpus()
     assert df["warc_ts"].is_monotonic_increasing
+
+
+def test_style_map_present_and_ignored():
+    """L11 analog (render_text.py:429-436): every page samples one of four
+    styles → ink/background CSS + body class. All four must appear across
+    the corpus, deterministically, and extraction must ignore them
+    (asserted transitively by the roundtrip + golden tests)."""
+    import re
+
+    df = _corpus()
+    styles = []
+    for _, row in df.iterrows():
+        m = re.search(rb'<body class="(\w+)"', bytes(row["html"]))
+        if m:
+            styles.append(m.group(1).decode())
+    assert set(styles) == {"lined", "old", "birch", "parchment"}
+    again = []
+    for _, row in _corpus().iterrows():
+        m = re.search(rb'<body class="(\w+)"', bytes(row["html"]))
+        if m:
+            again.append(m.group(1).decode())
+    assert styles == again
