@@ -123,7 +123,12 @@ def grapheme_clusters(text: str) -> list[str]:
 def grapheme_count(text: str) -> int:
     """Count non-space grapheme clusters — same cluster boundaries as
     ``grapheme_clusters`` (differentially tested) without building the
-    cluster strings."""
+    cluster strings. ``_is_extend`` is inlined (set-first, category only
+    for out-of-block input): this loop runs per character of every
+    extracted document and the call overhead dominated the profile."""
+    ext = _EXTEND_SET
+    cons = _CONSONANT_SET
+    category = unicodedata.category
     count = 0
     have = False          # a cluster is open
     space_only = False    # the open cluster is exactly " "
@@ -132,7 +137,10 @@ def grapheme_count(text: str) -> int:
         if not have:
             have = True
             space_only = ch == " "
-        elif _is_extend(ch) or (pending_linker and ch in _CONSONANT_SET):
+        elif (ch in ext
+              or (pending_linker and ch in cons)
+              or (ch != " " and not ("ऀ" <= ch <= "ॿ")
+                  and category(ch) in ("Mn", "Mc", "Me"))):
             space_only = False
         else:
             if not space_only:

@@ -68,6 +68,8 @@ _CDATA_OPEN = {t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_ELEMS}
 # quote/angle surprises) the faithful parse below provably produces the
 # same (tag, endpos, start-vs-startend) triple, so matching here is a pure
 # shortcut; anything else falls through to the stdlib-regex mirror.
+# (A single merged search regex was measured SLOWER than str.find('<') +
+# two anchored matches — don't re-merge.)
 _SIMPLE_START = re.compile(
     r"<([a-zA-Z][a-zA-Z0-9]*)"
     r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
@@ -95,7 +97,15 @@ def _scan_blocks(markup: str) -> list[_Block]:
         nonlocal cur
         if cur.total_chars:
             blocks.append(cur)
-        cur = _Block(next_tag)
+            cur = _Block(next_tag)
+        else:
+            # empty block: reuse the object (flush fires on every block tag
+            # — allocation here dominated the scan profile). A discarded
+            # block's pending whitespace boundary is dropped with it,
+            # exactly like allocating a fresh _Block.
+            cur.tag = next_tag
+            if cur.parts:
+                cur.parts.clear()
 
     def on_data(segment: str) -> None:
         nonlocal cur
@@ -262,36 +272,60 @@ def _scan_blocks(markup: str) -> list[_Block]:
         gt = markup.find(">", i + 2)  # bogus comment <!…>
         return recover(i) if gt < 0 else gt + 1
 
-    # -- main loop: mirror of HTMLParser.goahead -----------------------------
+    # -- main loop: mirror of HTMLParser.goahead. The simple-tag fast paths
+    # -- are fully inlined (no closure dispatch): tag handling is ~40 events
+    # -- per document and dominated the scan profile otherwise.
+    find = markup.find
+    ss_match = _SIMPLE_START.match
+    se_match = _SIMPLE_END.match
+    ign_tags = _IGNORE_TAGS
+    blk_tags = _BLOCK_TAGS
     pos = 0
     while pos < n:
-        lt = markup.find("<", pos)
+        lt = find("<", pos)
         if lt < 0:
             on_text(markup[pos:])
             break
         if lt > pos:
             on_text(markup[pos:lt])
+        m = ss_match(markup, lt)
+        if m:  # simple start tag (provably equivalent to parse_starttag)
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            pos = m.end()
+            if m.group(2):  # self-closing → handle_startendtag
+                if tag in blk_tags:
+                    flush(tag)
+            elif tag in ign_tags:
+                ignore_depth += 1
+                if tag in _CDATA_ELEMS:
+                    pos = skip_cdata(pos, tag)
+            elif tag == "a":
+                link_depth += 1
+            elif tag in blk_tags:
+                flush(tag)
+            continue
+        m = se_match(markup, lt)
+        if m:  # simple end tag
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            pos = m.end()
+            if tag in ign_tags:
+                if ignore_depth:
+                    ignore_depth -= 1
+            elif tag == "a":
+                if link_depth:
+                    link_depth -= 1
+            elif tag in blk_tags:
+                flush(cur.tag)
+            continue
         c = markup[lt + 1:lt + 2]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            m = _SIMPLE_START.match(markup, lt)
-            if m:
-                tag = m.group(1).lower()
-                if m.group(2):
-                    on_startend(tag)
-                    pos = m.end()
-                else:
-                    on_start(tag)
-                    pos = (skip_cdata(m.end(), tag)
-                           if tag in _CDATA_ELEMS else m.end())
-            else:
-                pos = parse_starttag(lt)
+            pos = parse_starttag(lt)
         elif c == "/":
-            m = _SIMPLE_END.match(markup, lt)
-            if m:
-                on_end(m.group(1).lower())
-                pos = m.end()
-            else:
-                pos = parse_endtag(lt)
+            pos = parse_endtag(lt)
         elif markup.startswith("<!--", lt):
             cm = _COMMENTCLOSE.search(markup, lt + 4)
             pos = cm.end() if cm else recover(lt)
