@@ -35,12 +35,21 @@ def _seed(text: str) -> int:
                           "big")
 
 
+_GLYPH_CACHE: dict[str, np.ndarray] = {}
+
+
 def _glyph(ch: str) -> np.ndarray:
-    """Fake font: a deterministic 5×7 bit pattern per character code."""
-    h = hashlib.md5(struct.pack(">I", ord(ch))).digest()
-    bits = np.unpackbits(np.frombuffer(h[:5], dtype=np.uint8))[:GLYPH_W * GLYPH_H - 5]
-    bits = np.concatenate([bits, np.ones(5, dtype=np.uint8)])  # solid base row
-    return bits.reshape(GLYPH_H, GLYPH_W)
+    """Fake font: a deterministic 5×7 bit pattern per character code.
+    Cached per worker — the md5+unpackbits ran once per character
+    OCCURRENCE and dominated the render profile."""
+    g = _GLYPH_CACHE.get(ch)
+    if g is None:
+        h = hashlib.md5(struct.pack(">I", ord(ch))).digest()
+        bits = np.unpackbits(
+            np.frombuffer(h[:5], dtype=np.uint8))[:GLYPH_W * GLYPH_H - 5]
+        bits = np.concatenate([bits, np.ones(5, dtype=np.uint8)])
+        g = _GLYPH_CACHE[ch] = bits.reshape(GLYPH_H, GLYPH_W)
+    return g
 
 
 def render_text_png(text: str) -> bytes:
