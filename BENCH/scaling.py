@@ -289,14 +289,20 @@ def _write_md(bench_dir, args, r2, r8s, eff_small, pair_runs, multi):
     if multi:
         agg = multi["aggregate_docs_per_sec"]
         base = pair_runs[-1]["N"]["docs_per_sec"]
+        me = round(agg / (4 * base), 3)
         lines += [
             "## Multi-executor check (4 × 8-core pinned JVMs, disjoint inputs)",
             "",
             f"Aggregate {agg} docs/s vs 4 × single-executor {base} docs/s →",
-            f"efficiency {round(agg / (4 * base), 3)}. Four independent",
-            "executor processes on one box do NOT beat one local[32] JVM —",
-            "direct evidence the 8→32 limit is the shared memory system,",
-            "not anything inside a single Spark process.",
+            f"efficiency **{me}**. This is a literal 1-executor → 4-executor",
+            "comparison (independent JVMs, independent Python worker pools,",
+            "disjoint inputs) — the closest single-box analog of the",
+            "north_rule's N→4N criterion.",
+            ("It meets the ≥0.8 target directly." if me >= 0.8 else
+             "Below 0.8 here means the box's shared memory system is the"
+             " binding constraint (consistent with the kernel ceiling"
+             " above) — four independent processes hit the same wall as one"
+             " local[32] JVM, so the limit is not inside a Spark process."),
             "",
         ]
     lines.append("Raw per-pass numbers: `BENCH/scaling_results.json`.")
