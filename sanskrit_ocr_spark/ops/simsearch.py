@@ -184,6 +184,87 @@ def ann_lsh_topk(spark, sf):
             .select("q_id", "vec_id", "cos"))
 
 
+# --- IVF-bucketed ANN (coarse-quantize → probe nearest cells; rows-only) --------
+
+IVF_NPROBE = 3
+
+
+def build_ivf_cells(spark, sf) -> "np.ndarray":
+    """IVF index build: one coarse centroid per label group (a supervised
+    seeding of the quantizer — the same posexplode/groupBy aggregation as
+    ``ann_label_centroids``). This is a deliberate materialization barrier:
+    an IVF index is BUILT (tiny: cells × dim doubles), then searched — the
+    collect here is the index artifact, not a hidden metadata probe.
+    Decimal-exact sums keep the centroids deterministic under any
+    partitioning."""
+    emb = t(spark, sf, "embeddings")
+    rows = (emb.select("label", F.posexplode(
+                F.col("embedding").cast("array<double>")).alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg((F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                  / F.count("*")).alias("c"))
+            .collect())
+    labels = sorted({r["label"] for r in rows})
+    dim = max(r["pos"] for r in rows) + 1
+    cents = np.zeros((len(labels), dim))
+    idx = {lb: i for i, lb in enumerate(labels)}
+    for r in rows:
+        cents[idx[r["label"]], r["pos"]] = r["c"]
+    return cents
+
+
+def _cell_assigner(cents: np.ndarray):
+    """pandas UDF assigning each vector to its nearest centroid by cosine
+    (the tiny cells×dim matrix ships to workers inside the UDF closure)."""
+    norm_c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                                1e-12)
+
+    @pandas_udf(IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        return pd.Series(np.argmax(mat @ norm_c.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_ivf_topk(spark, sf):
+    """IVF search: brute-force cosine only within the query's ``IVF_NPROBE``
+    nearest cells. Structure mirrors a production IVF: the index build is a
+    separate (tiny) stage, base vectors carry a cell id (one Arrow-batched
+    matmul), and the candidate join is a broadcast of (query, probed-cell)
+    pairs — no all-pairs work. Approximate by construction → rows-only;
+    recall vs brute force asserted in pytest."""
+    cents = build_ivf_cells(spark, sf)
+    assign = _cell_assigner(cents)
+    emb = t(spark, sf, "embeddings")
+    base = (_emb_double(emb, "vec_id", "e")
+            .withColumn("cell", assign(F.col("e"))))
+    norm_c = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                                1e-12)
+    qrows = (_emb_double(emb.filter(F.col("vec_id").isin(*QUERY_IDS)),
+                         "q_id", "qe").collect())
+    probes = []
+    for r in qrows:
+        v = np.asarray(r["qe"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for cell in np.argsort(-(norm_c @ v))[:IVF_NPROBE]:
+            probes.append((r["q_id"], r["qe"], int(cell)))
+    qdf = F.broadcast(spark.createDataFrame(
+        probes, "q_id long, qe array<double>, qcell int"))
+    scored = (base.join(qdf, base.cell.eqNullSafe(qdf.qcell))
+              .select("q_id", "vec_id",
+                      F.round(_cosine(F.col("e"), F.col("qe")), 4).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id", "cos"))
+
+
 # --- per-label centroids (IVF coarse-quantizer building block; oracle) ---------
 
 def ann_label_centroids(spark, sf):
@@ -214,6 +295,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_neardup": ann_cosine_neardup,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_label_centroids": ann_label_centroids,
 }
 
@@ -221,6 +303,6 @@ ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_cosine_neardup": NEARDUP_SQL,
     "ann_label_centroids": CENTROID_SQL,
-    # ann_lsh_topk: approximate by construction — rows-only; recall vs
-    # ann_cosine_topk asserted in pytest.
+    # ann_lsh_topk / ann_ivf_topk: approximate by construction — rows-only;
+    # recall vs ann_cosine_topk asserted in pytest.
 }

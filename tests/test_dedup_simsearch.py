@@ -118,3 +118,27 @@ def test_minhash_df_cap_drops_hot_shingles_keeps_neardups(spark):
     verified = (dedup._true_jaccard(capped, cand)
                 .filter(F.col("jaccard") >= 0.5).collect())
     assert any((r["a_id"], r["b_id"]) == (0, 1) for r in verified)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    brute = {}
+    for r in simsearch.ann_cosine_topk(spark, SF).collect():
+        brute.setdefault(r["q_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in simsearch.ann_ivf_topk(spark, SF).collect():
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+    # every query retrieves itself (it lives in its own nearest cell)
+    for q, ids in approx.items():
+        assert q in ids
+    # probing 3 of ~16 label-seeded cells on near-random unit vectors:
+    # assert the machinery recovers a meaningful share of true top-k
+    total = sum(len(v) for v in brute.values())
+    hit = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+    assert hit / total >= 0.2
+    # scores of returned pairs must equal the brute-force cosine exactly
+    exact = {(r["q_id"], r["vec_id"]): r["cos"]
+             for r in simsearch.ann_cosine_topk(spark, SF).collect()}
+    for r in simsearch.ann_ivf_topk(spark, SF).collect():
+        k = (r["q_id"], r["vec_id"])
+        if k in exact:
+            assert exact[k] == r["cos"]
