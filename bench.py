@@ -76,13 +76,21 @@ def main() -> int:
 
         pages = spark.read.parquet(pages_path)
         # warm-up (JIT + Python worker pool): steady state is the honest
-        # long-lived-executor analog (BASELINE.md methodology)
-        extract_pages(pages, salt_partitions=0).count()
-        t0 = time.perf_counter()
+        # long-lived-executor analog (BASELINE.md methodology); then median
+        # of 3 timed passes with a GC drain between them — single passes
+        # swing ±30% with hypervisor neighbor load (BENCH/RESULTS.md)
         n_extracted = extract_pages(pages, salt_partitions=0).count()
-        dt = time.perf_counter() - t0
+        passes = []
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            extract_pages(pages, salt_partitions=0).count()
+            passes.append(time.perf_counter() - t0)
+        passes.sort()
+        dt = passes[1]  # median of 3
         timings["extract_pages"] = round(dt, 3)
         extract_docs_per_sec = round(n_extracted / dt, 1)
+        extract_passes = [round(n_extracted / p, 1) for p in passes]
 
         from sanskrit_ocr_spark.ops import dedup
 
@@ -101,6 +109,7 @@ def main() -> int:
             "sf": sf,
             "extract_rows": n_extracted,
             "extract_docs_per_sec": extract_docs_per_sec,
+            "extract_passes_docs_per_sec": extract_passes,
             "cpus": cpus,
         }))
         return 0
