@@ -1,4 +1,5 @@
-"""Minimal real PNG codec — pure stdlib (struct + zlib), no image libs.
+"""Minimal real PNG codec — struct + zlib (+ numpy for bulk row moves),
+no image libraries.
 
 The reference pipeline's multimodal artifact is a real PNG per document
 (``/root/reference/datagen/augmentations/render_text.py:148,276`` renders
@@ -22,6 +23,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -40,10 +43,11 @@ def encode_png(pixels: bytes, width: int, height: int,
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer size does not match geometry")
     color_type = 0 if channels == 1 else 2
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type 0 (None) per scanline
-        raw += pixels[y * stride:(y + 1) * stride]
+    # one numpy column insert builds every "filter 0" scanline at once
+    rows = np.empty((height, stride + 1), dtype=np.uint8)
+    rows[:, 0] = 0
+    rows[:, 1:] = np.frombuffer(pixels, np.uint8).reshape(height, stride)
+    raw = rows.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
@@ -99,6 +103,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size does not match geometry")
+    # fast path: all scanlines filter 0 (our encoder's output) → one bulk
+    # numpy column drop instead of a per-row Python de-filter loop
+    if height and stride:
+        arr = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+        if not arr[:, 0].any():
+            return width, height, channels, arr[:, 1:].tobytes()
     out = bytearray(stride * height)
     prev_row_start = None
     for y in range(height):
