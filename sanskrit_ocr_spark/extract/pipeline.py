@@ -147,14 +147,19 @@ def lineage_rows(extracted: DataFrame, snapshot_id: int,
     """Per-partition lineage: one row per (part_hash, status) with the
     partition's total doc count — FIXTURES.md §A3 / north_rule metrics.
 
-    Pure relational: partial aggregation is map-side (free), the single
-    shuffle is on (part_hash, status).
+    ONE pass over the data: partial aggregation is map-side (free), the
+    single shuffle is on (part_hash, status), and the per-partition
+    doc_count is a window sum over the already-aggregated frame
+    (≤ buckets × statuses rows) — no second scan, no join. At 100 TB the
+    input is the expensive UDF output, so scanning it once matters.
     """
+    from pyspark.sql.window import Window
+
     per_status = (extracted.groupBy("part_hash", "status")
                   .agg(F.count("*").alias("fail_count")))
-    per_part = (extracted.groupBy("part_hash")
-                .agg(F.count("*").alias("doc_count")))
-    return (per_status.join(per_part, "part_hash")
+    w = Window.partitionBy("part_hash")
+    return (per_status
+            .withColumn("doc_count", F.sum("fail_count").over(w))
             .select(
                 F.lit(snapshot_id).cast("long").alias("snapshot_id"),
                 F.col("part_hash").alias("partition_hash"),
