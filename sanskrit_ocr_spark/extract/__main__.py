@@ -4,10 +4,12 @@ Usage (local smoke; on a cluster replace --master and add --py-files)::
 
     python -m sanskrit_ocr_spark.extract --rows 300 --root /tmp/extract_out
     python -m sanskrit_ocr_spark.extract --input pages.parquet --root /out
+    python -m sanskrit_ocr_spark.extract --input-warc /crawl/segments --root /out
 
 Synthesizes the seeded pages corpus (or reads an existing parquet pages
-table), runs the resumable extraction job, and prints a one-line JSON
-summary: snapshot id, rows inserted, lineage failure tallies.
+table, or ingests raw WARC segment files), runs the resumable extraction
+job, and prints a one-line JSON summary: snapshot id, rows inserted,
+lineage failure tallies.
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--rows", type=int,
                      help="synthesize N seeded pages as input")
     src.add_argument("--input", help="existing pages parquet path")
+    src.add_argument("--input-warc",
+                     help="directory of *.warc.gz segment files to ingest")
     p.add_argument("--root", required=True,
                    help="output table root (extracted/ + lineage/)")
     p.add_argument("--master", default="local[*]")
@@ -50,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.rows <= 0:
                 p.error("--rows must be positive")
             pages = pages_df(spark, args.rows)
+        elif args.input_warc:
+            from sanskrit_ocr_spark.sources.warclite import read_warc
+            # drop unparseable members (counted as NULL urls by the reader)
+            pages = read_warc(spark, args.input_warc) \
+                .filter(F.col("url").isNotNull())
         else:
             pages = spark.read.parquet(args.input)
 

@@ -1,0 +1,124 @@
+"""WARC-style ingestion — the Common-Crawl file format, stdlib-only.
+
+The north_star input is an Iceberg table of CC-style pages, but the table
+has to come from somewhere: Common Crawl ships WARC files — a stream of
+records, each compressed as its OWN gzip member and concatenated (that
+per-record framing is what makes a 1 GB segment streamable and
+record-seekable). This module implements the subset the pipeline needs:
+
+* ``write_warc`` — serialize ``(url, warc_ts, html)`` rows as minimal
+  WARC/1.0 ``response`` records, one gzip member each (datagen/tests);
+* ``read_warc``  — a Spark reader: ``binaryFile`` source (one task per
+  WARC file — a CC crawl is tens of thousands of segment files, which IS
+  the parallelism) → Arrow-batched ``mapInPandas`` that walks the gzip
+  members with a streaming ``zlib.decompressobj`` (O(record) memory,
+  ``unused_data`` hands over the next member) and parses the WARC headers.
+
+Scale notes: no shuffle — the reader is scan + flatMap-shaped; records
+inherit the file's split. Malformed members/headers surface as rows with
+``url = NULL`` rather than killing the task (the caller can count them
+into lineage), mirroring the pipeline's no-silent-drops rule.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _record_bytes(url: str, warc_ts: datetime, payload: bytes) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {warc_ts.strftime(WARC_DATE_FMT)}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, records: list[tuple[str, datetime, bytes]]) -> None:
+    """Write records as concatenated one-record gzip members (the CC
+    framing). Single-process — datagen/test fixture writer."""
+    with open(path, "wb") as f:
+        for url, warc_ts, payload in records:
+            f.write(gzip.compress(_record_bytes(url, warc_ts, payload),
+                                  mtime=0))
+
+
+def _iter_members(blob: bytes) -> Iterator[bytes]:
+    """Decompress each concatenated gzip member in turn — O(member) memory."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out = d.decompress(blob[pos:])
+        yield out + d.flush()
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            return  # garbage tail: stop rather than loop forever
+        pos += consumed
+
+
+def _parse_record(rec: bytes) -> tuple[str | None, datetime | None, bytes | None]:
+    try:
+        head_end = rec.index(b"\r\n\r\n")
+        headers = {}
+        lines = rec[:head_end].decode("utf-8", "replace").split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return None, None, None
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        if headers.get("warc-type") != "response":
+            return None, None, None
+        url = headers["warc-target-uri"]
+        ts = datetime.strptime(headers["warc-date"], WARC_DATE_FMT)
+        length = int(headers["content-length"])
+        payload = rec[head_end + 4:head_end + 4 + length]
+        if len(payload) != length:
+            return None, None, None
+        return url, ts, payload
+    except (ValueError, KeyError, IndexError):
+        return None, None, None
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files under ``path`` → DataFrame ``(url, warc_ts, html)``.
+
+    One input task per file (``binaryFile``); records explode out of the
+    per-file Arrow batch. Unparseable members yield ``url IS NULL`` rows
+    so ingestion failures are countable, never silent.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc.gz")
+             .load(path)
+             .select("content"))
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, payloads = [], [], []
+            for blob in pdf["content"]:
+                try:
+                    members = list(_iter_members(bytes(blob)))
+                except zlib.error:
+                    members = [b""]  # whole file unreadable → one NULL row
+                for rec in members:
+                    url, ts, payload = _parse_record(rec)
+                    urls.append(url)
+                    tss.append(ts)
+                    payloads.append(payload)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss,
+                                "html": payloads})
+
+    return files.mapInPandas(
+        body, schema="url string, warc_ts timestamp, html binary")

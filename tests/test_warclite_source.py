@@ -1,0 +1,58 @@
+"""WARC-style ingestion: write the synthetic corpus as per-record-gzip
+WARC files, read it back distributed, extract — byte-identical to the
+direct path."""
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.datagen.pages import pages_pandas
+from sanskrit_ocr_spark.extract.pipeline import extract_pages
+from sanskrit_ocr_spark.sources.warclite import read_warc, write_warc
+
+
+def _write_corpus(tmp_path, n=120, files=3):
+    rows = pages_pandas(0, n)
+    per = (n + files - 1) // files
+    for i in range(files):
+        chunk = rows.iloc[i * per:(i + 1) * per]
+        write_warc(
+            str(tmp_path / f"seg-{i:05d}.warc.gz"),
+            [(r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+             for _, r in chunk.iterrows()])
+    return rows
+
+
+def test_warc_roundtrip(spark, tmp_path):
+    rows = _write_corpus(tmp_path)
+    got = read_warc(spark, str(tmp_path)).orderBy("warc_ts").toPandas()
+    assert got["url"].tolist() == rows.sort_values("warc_ts")["url"].tolist()
+    assert [bytes(b) for b in got["html"]] == \
+        rows.sort_values("warc_ts")["html"].tolist()
+    assert got["url"].notna().all()
+
+
+def test_warc_extraction_matches_direct_path(spark, tmp_path):
+    rows = _write_corpus(tmp_path)
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA
+    direct = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    a = {r["url"]: (r["text"], r["status"])
+         for r in extract_pages(read_warc(spark, str(tmp_path)),
+                                salt_partitions=4).collect()}
+    b = {r["url"]: (r["text"], r["status"])
+         for r in extract_pages(direct, salt_partitions=4).collect()}
+    assert a == b and len(a) > 100
+
+
+def test_warc_corrupt_member_yields_null_row(spark, tmp_path):
+    _write_corpus(tmp_path, n=20, files=1)
+    # append a structurally-valid gzip member whose content is not WARC,
+    # plus a second file that is pure garbage
+    with open(tmp_path / "seg-00000.warc.gz", "ab") as f:
+        f.write(gzip.compress(b"HTTP/1.1 200 OK\r\n\r\nnot a warc"))
+    with open(tmp_path / "bad.warc.gz", "wb") as f:
+        f.write(os.urandom(64))
+    df = read_warc(spark, str(tmp_path))
+    assert df.filter(F.col("url").isNull()).count() >= 2
+    assert df.filter(F.col("url").isNotNull()).count() == 20
