@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--partitioned", action="store_true",
                    help="write the warc_day x url-bucket hive layout")
+    p.add_argument("--curate-dest",
+                   help="also curate the extracted table (quality gate + "
+                        "first-wins dedup) into DEST/corpus parquet + "
+                        "DEST/captions_jsonl")
     args = p.parse_args(argv)
 
     spark = build_spark(app="extract-job", master=args.master,
@@ -74,13 +78,17 @@ def main(argv: list[str] | None = None) -> int:
             for r in lin.groupBy("fail_code")
             .agg(F.sum("fail_count").alias("n")).collect()
         }
-        print(json.dumps({
+        summary = {
             "snapshot_id": res["snapshot_id"],
             "inserted": res["inserted"],
             "extracted_total": ext.count(),
             "distinct_urls": ext.select("url").distinct().count(),
             "fail_tallies": fail_tallies,
-        }))
+        }
+        if args.curate_dest:
+            from sanskrit_ocr_spark.extract.curate import curate, write_corpus
+            summary["corpus"] = write_corpus(curate(ext), args.curate_dest)
+        print(json.dumps(summary))
         return 0
     finally:
         spark.stop()

@@ -1,0 +1,62 @@
+"""Corpus curation: extraction output → deduplicated training corpus.
+
+The reference's end product is a training corpus: cleaned text rows
+(``h5_to_parquet.py`` clean → empty-filter → first-wins dedup → parquet)
+plus image/caption pairs (``generate_dataset.py:36-42``). This module is
+that finishing stage over the ``extracted`` table, Spark-first:
+
+1. keep rows that extracted cleanly (``status = OK``);
+2. quality gate: at least ``min_graphemes`` grapheme clusters and at
+   least one danda sentence (the ``ts_quality_score`` family applied to
+   the pipeline's own output);
+3. exact-text first-wins dedup — window over ``(xxhash64(text), text)``
+   ordered by ``(warc_ts, url)``: deterministic winner, 8-byte hash
+   comparisons, text kept in the key only for collision safety
+   (reference semantics h5_to_parquet.py:27,45-48, key-based);
+4. outputs: a corpus parquet and a captions JSONL directory
+   (``df.write.json`` — K4, one raw-UTF-8 object per line).
+
+Everything is one narrow filter + one window shuffle + writes; the stats
+come from an ``observe`` on the write pass, not extra count jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_GRAPHEMES = 20
+
+
+def curate(extracted: DataFrame, min_graphemes: int = MIN_GRAPHEMES) -> DataFrame:
+    """Extraction output → curated corpus rows
+    ``(url, warc_ts, text, n_graphemes, n_sentences)``."""
+    ok = (extracted
+          .filter(F.col("status") == "OK")
+          .filter(F.col("n_graphemes") >= min_graphemes)
+          .filter(F.size("sentences") >= 1))
+    w = Window.partitionBy(F.xxhash64("text"), "text") \
+              .orderBy(F.col("warc_ts").asc(), F.col("url").asc())
+    return (ok.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("url", "warc_ts", "text", "n_graphemes",
+                    F.size("sentences").alias("n_sentences")))
+
+
+def write_corpus(corpus: DataFrame, dest: str,
+                 captions: bool = True) -> dict:
+    """Write corpus parquet (+ captions JSONL); returns stats from an
+    Observation on the write pass — no extra count jobs."""
+    obs = Observation()
+    observed = corpus.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_graphemes").alias("graphemes"),
+        F.sum("n_sentences").alias("sentences"))
+    observed.write.mode("overwrite").parquet(f"{dest}/corpus")
+    stats = {k: int(v) for k, v in obs.get.items()}
+    if captions:
+        (corpus.select("url", "text")
+         .write.mode("overwrite").json(f"{dest}/captions_jsonl"))
+    return stats

@@ -1,0 +1,57 @@
+"""Curation stage: quality gate + deterministic first-wins dedup over the
+extraction output, corpus + captions sinks, Observation-based stats."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+from sanskrit_ocr_spark.extract.curate import curate, write_corpus
+from sanskrit_ocr_spark.extract.pipeline import extract_pages
+
+
+def _extracted(spark, n=300):
+    pages = spark.createDataFrame(pages_pandas(0, n), schema=PAGES_SCHEMA)
+    return extract_pages(pages).cache()
+
+
+def test_curate_semantics(spark):
+    ext = _extracted(spark)
+    try:
+        corpus = curate(ext).cache()
+        rows = corpus.collect()
+        # only clean rows, all above the quality gate
+        assert all(r["n_graphemes"] >= 20 and r["n_sentences"] >= 1
+                   for r in rows)
+        # exact-text dedup: every text appears once
+        texts = [r["text"] for r in rows]
+        assert len(texts) == len(set(texts))
+        # duplicate-text rows (80-84 per block) collapsed to block row-0:
+        # the winner has the earliest warc_ts of its text group
+        ext_ok = ext.filter(F.col("status") == "OK")
+        grp = (ext_ok.groupBy("text")
+               .agg(F.min("warc_ts").alias("first_ts"),
+                    F.count("*").alias("n")))
+        winners = {r["text"]: r["warc_ts"] for r in rows}
+        for g in grp.collect():
+            if g["text"] in winners:
+                assert winners[g["text"]] == g["first_ts"]
+        assert any(g["n"] >= 5 for g in grp.collect())  # dups existed
+    finally:
+        ext.unpersist()
+
+
+def test_write_corpus_and_captions(spark, tmp_path):
+    ext = _extracted(spark, 200)
+    corpus = curate(ext)
+    stats = write_corpus(corpus, str(tmp_path / "corpus_out"))
+    back = spark.read.parquet(str(tmp_path / "corpus_out" / "corpus"))
+    assert stats["docs"] == back.count() > 100
+    assert stats["graphemes"] == back.agg(
+        F.sum("n_graphemes")).collect()[0][0]
+    caps = spark.read.json(str(tmp_path / "corpus_out" / "captions_jsonl"))
+    assert caps.count() == stats["docs"]
+    one = json.loads(next(
+        (tmp_path / "corpus_out" / "captions_jsonl").glob("part-*.json")
+    ).read_text().splitlines()[0])
+    assert set(one) == {"url", "text"}
