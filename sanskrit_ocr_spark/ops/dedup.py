@@ -151,11 +151,16 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     """shingles(doc_id, sh) → m0..m{NUM_MINHASH-1} signature (JVM xxhash64).
 
     All NUM_MINHASH permutation-mins come out of ONE groupBy — one shuffle
-    for the whole signature, not one per hash function.
+    for the whole signature, not one per hash function. Each shingle
+    STRING is hashed exactly once; the 16 permutation hashes derive from
+    the 8-byte digest (hashing a long is far cheaper than re-hashing a
+    ~20-byte string 16×, and the pre-shuffle projection means the groupBy
+    moves longs, not shingle strings).
     """
-    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(s))).alias(f"m{s}")
+    hashed = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
             for s in range(NUM_MINHASH)]
-    return sh.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
