@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -235,18 +236,24 @@ def dedup_minhash_lsh(spark, sf, df_cap: int | None = None):
 
 # --- SimHash (vectorized pandas UDF + bit_count verify; rows-only) --------------
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = [1 << i for i in range(64)]  # Python ints: no overflow
+
+
 def _simhash64(text: str) -> int:
     """Deterministic 64-bit SimHash over whitespace tokens (md5-derived
-    per-token hashes — stable across platforms and workers)."""
-    acc = [0] * 64
-    for tok in text.split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for i in range(64):
-            acc[i] += 1 if (h >> i) & 1 else -1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    per-token hashes — stable across platforms and workers). The per-bit
+    vote accumulation is one numpy broadcast over all tokens; values are
+    bit-identical to the scalar definition (pinned by pytest)."""
+    toks = text.split()
+    if not toks:
+        return 0  # zero votes → no bit set
+    digest = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                      for t in toks)
+    hs = np.frombuffer(digest, dtype=">u8").astype(np.uint64)
+    votes = ((hs[:, None] >> _BIT_IDX) & np.uint64(1)).sum(axis=0)
+    set_bits = votes * 2 > len(toks)  # acc_i > 0  ⇔  ones > n/2
+    out = sum(w for w, b in zip(_BIT_WEIGHTS, set_bits) if b)
     # map to signed int64 range for a LongType column
     return out - (1 << 64) if out >= (1 << 63) else out
 

@@ -142,3 +142,32 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         k = (r["q_id"], r["vec_id"])
         if k in exact:
             assert exact[k] == r["cos"]
+
+
+def test_simhash_vectorized_matches_scalar_definition():
+    """The numpy vote accumulation must be bit-identical to the scalar
+    per-token/per-bit definition."""
+    import hashlib
+
+    def scalar(text):
+        acc = [0] * 64
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    samples = ["", "one", "a b c", "token " * 50,
+               "देवनागरी पाठ यहाँ है", "x " * 999 + "y",
+               "repeated repeated repeated distinct"]
+    import duckdb
+    docs = duckdb.sql(
+        "select text from '/root/testdata/sf0.001/documents.parquet'"
+        " limit 60").df()["text"].tolist()
+    for t in samples + docs:
+        assert dedup._simhash64(t) == scalar(t), t[:40]
