@@ -15,10 +15,14 @@ Layout on disk::
       _icelite/commits/<n>.json          manifest: cumulative file list
       _icelite/HEAD                      current snapshot id (atomic rename)
 
-Commit protocol (single-writer, crash-safe):
+Commit protocol (optimistically concurrent, crash-safe):
 
 1. write data files to ``data/commit-<n>/`` (invisible until committed);
-2. write ``_icelite/commits/<n>.json`` listing parent + cumulative files;
+2. create ``_icelite/commits/<n>.json`` EXCLUSIVELY, listing parent +
+   cumulative files — a concurrent writer that already took snapshot
+   ``n`` makes this raise ``ConcurrentCommitError`` (Iceberg's
+   optimistic-concurrency contract: the loser retries from the new HEAD,
+   nothing is clobbered);
 3. atomically rename a temp HEAD → ``_icelite/HEAD``.
 
 A crash between any steps leaves HEAD pointing at the previous snapshot;
@@ -41,6 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot id first — the Iceberg
+    optimistic-concurrency contract: the loser retries from the new HEAD
+    instead of silently clobbering the manifest."""
 
 
 class IceliteTable:
@@ -135,15 +145,25 @@ class IceliteTable:
             ]
         files = (self._manifest(parent)["files"] if parent else []) + sorted(new_files)
         manifest = {"snapshot_id": sid, "parent": parent, "files": files}
+        self._commit_manifest(sid, manifest)
+        return sid
+
+    def _commit_manifest(self, sid: int, manifest: dict) -> None:
+        """Optimistic commit: the manifest file is created EXCLUSIVELY —
+        if another writer already committed this snapshot id, raise
+        ``ConcurrentCommitError`` (caller re-reads HEAD and retries)
+        instead of clobbering its manifest. Then swing HEAD atomically."""
         mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        # atomic HEAD swing
+        try:
+            with open(mpath, "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {sid} already committed by another writer")
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
         with os.fdopen(fd, "w") as f:
             f.write(str(sid))
         os.replace(tmp, self._head_path())
-        return sid
 
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None) -> tuple[int, int]:
@@ -202,13 +222,7 @@ class IceliteTable:
                 for f in os.listdir(data_dir) if f.endswith(".parquet"))
         manifest = {"snapshot_id": sid, "parent": parent, "files": files,
                     "compacted": True}
-        mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
-        with os.fdopen(fd, "w") as f:
-            f.write(str(sid))
-        os.replace(tmp, self._head_path())
+        self._commit_manifest(sid, manifest)
         return sid
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:

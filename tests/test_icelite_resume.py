@@ -84,3 +84,23 @@ def test_crash_before_head_swing_is_invisible(spark, tmp_path):
     with open(os.path.join(t.root, "_icelite", "commits", "99.json"), "w") as f:
         f.write('{"snapshot_id": 99, "parent": 1, "files": ["/nonexistent"]}')
     assert t.read().count() == n_before
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two writers racing to the same snapshot id: the second manifest
+    create must fail loudly (optimistic concurrency), never clobber."""
+    import os
+
+    from sanskrit_ocr_spark.tables.icelite import ConcurrentCommitError
+
+    root = str(tmp_path / "occ")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    # simulate a winner: snapshot 2's manifest already exists
+    with open(os.path.join(t.root, "_icelite", "commits", "2.json"), "w") as f:
+        f.write('{"snapshot_id": 2, "parent": 1, "files": []}')
+    df = t.read().limit(1)
+    with pytest.raises(ConcurrentCommitError):
+        t.append(df)
+    # HEAD untouched; the winner's manifest intact
+    assert t.snapshot_id() == 1
