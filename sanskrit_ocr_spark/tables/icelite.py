@@ -178,6 +178,11 @@ class IceliteTable:
         The inserted-row count comes from an ``Observation`` on the write
         job itself — ONE job per merge, not a count() pass followed by a
         recomputation of the anti-join for the write.
+
+        Concurrency: on ``ConcurrentCommitError`` the merge retries from
+        the NEW committed HEAD — the anti-join is re-derived against the
+        winner's snapshot, so retried merges stay idempotent per key
+        (Iceberg's MERGE retry semantics).
         """
         from pyspark.sql import Observation
 
@@ -190,13 +195,19 @@ class IceliteTable:
                     .filter(F.col("__rn") == 1).drop("__rn"))
         else:
             df = df.dropDuplicates([key])
-        existing = self.read().select(key)
-        obs = Observation()
-        fresh = (df.join(existing, key, "left_anti")
-                 .observe(obs, F.count(F.lit(1)).alias("inserted")))
-        sid = self.append(fresh)
-        inserted = int(obs.get["inserted"])
-        return sid, inserted
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(3):
+            existing = self.read().select(key)
+            obs = Observation()
+            fresh = (df.join(existing, key, "left_anti")
+                     .observe(obs, F.count(F.lit(1)).alias("inserted")))
+            try:
+                sid = self.append(fresh)
+            except ConcurrentCommitError as e:
+                last_err = e
+                continue
+            return sid, int(obs.get["inserted"])
+        raise last_err  # type: ignore[misc]
 
     # -- maintenance ------------------------------------------------------------
     def compact(self, target_partitions: int = 8) -> int:

