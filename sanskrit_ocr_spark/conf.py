@@ -8,7 +8,15 @@ unchanged to a 1000-executor deployment.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+# Committed golden fixtures (regression-pin oracles + pytest goldens),
+# derived from the package location so nothing hardcodes a checkout root.
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures")
 
 # Arrow batch size into pandas UDFs — the rebuild analog of the reference's
 # 1024-prompt GPU batches (translate_bookcorpus.py:23): big enough to amortize

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sanskrit_ocr_spark.conf import FIXTURES_DIR
 from sanskrit_ocr_spark.ops.relational import t
 
 NUM_MINHASH = 16
@@ -306,6 +307,15 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_hash": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
-    # dedup_minhash_lsh / dedup_simhash: probabilistic candidate recall —
-    # rows-only driver check; recall asserted vs the exact op in pytest.
+    # dedup_minhash_lsh / dedup_simhash are probabilistic in RECALL but
+    # fully deterministic in VALUE (fixed xxhash64/md5 hash derivations over
+    # fixed testdata), so their sf0.01 outputs are pinned as committed
+    # golden parquet — the same regression-pin regime as golden_x1_500
+    # (regenerate via tools/regen_fixtures.py with any intentional change;
+    # recall vs the exact ops stays asserted in pytest as the semantic
+    # ground truth).
+    "dedup_minhash_lsh":
+        f"SELECT * FROM read_parquet('{FIXTURES_DIR}/golden_minhash_lsh_sf001.parquet')",
+    "dedup_simhash":
+        f"SELECT * FROM read_parquet('{FIXTURES_DIR}/golden_simhash_sf001.parquet')",
 }

@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sanskrit_ocr_spark.conf import FIXTURES_DIR
 from sanskrit_ocr_spark.datagen.images import (
     decode_frames,
     render_clip,
@@ -114,11 +115,14 @@ def mm_feature_extract(spark, sf):
 def resize(df: DataFrame, binary_col: str, id_col: str,
            target_w: int = 24, target_h: int = 16) -> DataFrame:
     """Decode each PNG, nearest-neighbor resample to the target geometry,
-    re-encode as a real PNG thumbnail."""
+    re-encode as a real PNG thumbnail. ``pixel_md5`` digests the DECODED
+    pixel buffer of the freshly encoded thumbnail (an encode→decode
+    roundtrip), not the compressed bytes: zlib stream output is not stable
+    across zlib builds, pixel content is."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = []
+            thumbs, pix_md5 = [], []
             for p in pdf[binary_col]:
                 w, h, ch, pix = decode_png(bytes(p))
                 arr = np.frombuffer(pix, np.uint8).reshape(h, w * ch)
@@ -127,25 +131,30 @@ def resize(df: DataFrame, binary_col: str, id_col: str,
                 ys = (np.arange(target_h) * h) // target_h
                 xs = (np.arange(target_w) * w) // target_w
                 small = arr[ys][:, xs]
-                thumbs.append(encode_png(small.tobytes(), target_w, target_h,
-                                         channels=ch))
+                enc = encode_png(small.tobytes(), target_w, target_h,
+                                 channels=ch)
+                thumbs.append(enc)
+                _, _, _, out_pix = decode_png(enc)
+                pix_md5.append(hashlib.md5(out_pix).hexdigest())
             yield pd.DataFrame({
                 id_col: pdf[id_col], "thumb": thumbs,
+                "pixel_md5": pix_md5,
                 "width": pd.array([target_w] * len(thumbs), dtype="int32"),
                 "height": pd.array([target_h] * len(thumbs), dtype="int32"),
             })
 
     return df.select(id_col, binary_col).mapInPandas(
-        body, schema=f"{id_col} long, thumb binary, width int, height int")
+        body, schema=f"{id_col} long, thumb binary, pixel_md5 string,"
+                     " width int, height int")
 
 
 def mm_resize(spark, sf):
     docs = t(spark, sf, "documents").select("doc_id", "text")
     thumbs = resize(render_page_images(docs, "text", "doc_id"),
                     "image", "doc_id")
-    # md5 of the thumbnail payload: driver-hashable (binary columns are not)
-    return thumbs.select("doc_id", "width", "height",
-                         F.md5("thumb").alias("thumb_md5"))
+    # decoded-pixel digest: driver-hashable AND zlib-build-independent
+    # (md5 of the compressed thumb would pin this container's zlib)
+    return thumbs.select("doc_id", "width", "height", "pixel_md5")
 
 
 # --- real frame sampling (explode-shaped: rows out ≠ rows in) ---------------------
@@ -157,28 +166,32 @@ def frame_sample(df: DataFrame, binary_col: str, id_col: str,
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames, ws, hs = [], [], [], [], []
+            ids, idxs, frames, ws, hs, pmd5 = [], [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[binary_col]):
                 all_frames = decode_frames(bytes(p))
                 for k in range(0, len(all_frames), every_n):
-                    w, h, _, _pix = decode_png(all_frames[k])
+                    w, h, _, pix = decode_png(all_frames[k])
                     ids.append(i)
                     idxs.append(k)
                     frames.append(all_frames[k])
                     ws.append(w)
                     hs.append(h)
+                    # decoded-pixel digest (zlib-build-independent; see
+                    # resize())
+                    pmd5.append(hashlib.md5(pix).hexdigest())
             yield pd.DataFrame({
                 id_col: pd.array(ids, dtype="int64"),
                 "frame_idx": pd.array(idxs, dtype="int32"),
                 "frame": frames,
                 "width": pd.array(ws, dtype="int32"),
                 "height": pd.array(hs, dtype="int32"),
+                "pixel_md5": pmd5,
             })
 
     return df.select(id_col, binary_col).mapInPandas(
         body,
         schema=f"{id_col} long, frame_idx int, frame binary,"
-               " width int, height int")
+               " width int, height int, pixel_md5 string")
 
 
 def render_clips(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -202,7 +215,7 @@ def mm_frame_sample(spark, sf):
     sampled = frame_sample(render_clips(docs, "text", "doc_id"),
                            "clip", "doc_id")
     return sampled.select("doc_id", "frame_idx", "width", "height",
-                          F.md5("frame").alias("frame_md5"))
+                          "pixel_md5")
 
 
 QUERIES = {
@@ -212,7 +225,9 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
 }
 
-_FX = "/root/repo/tests/fixtures"
+# fixtures dir derived from the package location so the oracle SQL works
+# for any checkout root / --py-files deployment (not just /root/repo)
+_FX = FIXTURES_DIR
 
 ORACLES = {
     "mm_binary_meta": META_SQL,

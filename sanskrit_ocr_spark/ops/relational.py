@@ -430,7 +430,8 @@ WITH flagged AS (
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
-SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start
 FROM sess GROUP BY user_id, session_id
 """
 

@@ -31,6 +31,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 from pyspark.sql.window import Window
 
+from sanskrit_ocr_spark.conf import FIXTURES_DIR
 from sanskrit_ocr_spark.ops.relational import t
 
 QUERY_IDS = (0, 1, 2)
@@ -303,6 +304,14 @@ ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_cosine_neardup": NEARDUP_SQL,
     "ann_label_centroids": CENTROID_SQL,
-    # ann_lsh_topk / ann_ivf_topk: approximate by construction — rows-only;
-    # recall vs ann_cosine_topk asserted in pytest.
+    # ann_lsh_topk / ann_ivf_topk are approximate in RECALL but fully
+    # deterministic in VALUE (seeded Gaussian hyperplanes, decimal-exact
+    # centroids, fixed tie-breaks), so their sf0.01 outputs are pinned as
+    # committed golden parquet (regression-pin regime, regenerated via
+    # tools/regen_fixtures.py; recall vs ann_cosine_topk stays asserted
+    # in pytest as the semantic ground truth).
+    "ann_lsh_topk":
+        f"SELECT * FROM read_parquet('{FIXTURES_DIR}/golden_ann_lsh_sf001.parquet')",
+    "ann_ivf_topk":
+        f"SELECT * FROM read_parquet('{FIXTURES_DIR}/golden_ann_ivf_sf001.parquet')",
 }

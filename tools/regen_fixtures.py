@@ -68,11 +68,18 @@ def regen_driver_golden() -> None:
             out = os.path.join(FIXDIR, fname)
             pdf.to_parquet(out, index=False)
             print(f"wrote {out} ({len(pdf)} rows)")
-        # multimodal decode queries: pinned at the driver's sf0.01 scale
+        # multimodal decode + deterministic-value probabilistic queries
+        # (minhash/simhash/LSH/IVF: approximate in recall, deterministic in
+        # value — seeded hashes/planes over fixed testdata), pinned at the
+        # driver's sf0.01 scale
         for name, fname in [
                 ("mm_feature_extract", "golden_mm_features_sf001.parquet"),
                 ("mm_resize", "golden_mm_resize_sf001.parquet"),
-                ("mm_frame_sample", "golden_mm_frames_sf001.parquet")]:
+                ("mm_frame_sample", "golden_mm_frames_sf001.parquet"),
+                ("dedup_minhash_lsh", "golden_minhash_lsh_sf001.parquet"),
+                ("dedup_simhash", "golden_simhash_sf001.parquet"),
+                ("ann_lsh_topk", "golden_ann_lsh_sf001.parquet"),
+                ("ann_ivf_topk", "golden_ann_ivf_sf001.parquet")]:
             pdf = q[name](spark, "/root/testdata/sf0.01").toPandas()
             out = os.path.join(FIXDIR, fname)
             pdf.to_parquet(out, index=False)
