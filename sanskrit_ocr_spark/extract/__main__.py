@@ -70,24 +70,33 @@ def main(argv: list[str] | None = None) -> int:
                              salt_partitions=args.salt_partitions,
                              partitioned=args.partitioned)
 
-        ext = extracted_table(spark, args.root,
-                              partitioned=args.partitioned).read()
+        ext_t = extracted_table(spark, args.root,
+                                partitioned=args.partitioned)
         lin = lineage_table(spark, args.root).read()
+        # ONE Spark job for the summary: the lineage aggregate. The totals
+        # come from merge_on_key's Observation, recorded in the commit
+        # manifest — no extra scan of the extracted table; and
+        # distinct_urls == extracted_total by construction (MERGE on url
+        # guarantees key uniqueness; asserted in tests/test_icelite_resume).
         fail_tallies = {
             r["fail_code"]: r["n"]
             for r in lin.groupBy("fail_code")
             .agg(F.sum("fail_count").alias("n")).collect()
         }
+        total = ext_t.row_count()
+        if total is None:  # table written outside merge_on_key: fall back
+            total = ext_t.read().count()
         summary = {
             "snapshot_id": res["snapshot_id"],
             "inserted": res["inserted"],
-            "extracted_total": ext.count(),
-            "distinct_urls": ext.select("url").distinct().count(),
+            "extracted_total": total,
+            "distinct_urls": total,
             "fail_tallies": fail_tallies,
         }
         if args.curate_dest:
             from sanskrit_ocr_spark.extract.curate import curate, write_corpus
-            summary["corpus"] = write_corpus(curate(ext), args.curate_dest)
+            summary["corpus"] = write_corpus(curate(ext_t.read()),
+                                             args.curate_dest)
         print(json.dumps(summary))
         return 0
     finally:

@@ -11,39 +11,55 @@ shape.
 Layout on disk::
 
     <root>/
-      data/commit-<n>/part-*.parquet     one directory per commit
-      _icelite/commits/<n>.json          manifest: cumulative file list
-      _icelite/HEAD                      current snapshot id (atomic rename)
+      data/commit-<n>-<token>/part-*.parquet      unpartitioned commits
+      data/__commit=<n>-<token>/<k>=<v>/...       hive-partitioned commits
+      _icelite/commits/<n>.json                   DELTA manifest (new files
+                                                  only + parent pointer)
+      _icelite/HEAD                               current snapshot id
 
 Commit protocol (optimistically concurrent, crash-safe):
 
-1. write data files to ``data/commit-<n>/`` (invisible until committed);
-2. create ``_icelite/commits/<n>.json`` EXCLUSIVELY, listing parent +
-   cumulative files — a concurrent writer that already took snapshot
-   ``n`` makes this raise ``ConcurrentCommitError`` (Iceberg's
-   optimistic-concurrency contract: the loser retries from the new HEAD,
-   nothing is clobbered);
+1. stage data files into a UNIQUE directory (snapshot id + random token —
+   Iceberg's unique-file-name discipline): two writers racing for the same
+   snapshot id can never overwrite each other's files, no matter how the
+   race resolves;
+2. create ``_icelite/commits/<n>.json`` EXCLUSIVELY, listing only the NEW
+   files plus a parent pointer (a delta manifest — the cumulative list is
+   resolved by walking parents, so manifest size stays O(commit), not
+   O(history) — Iceberg's manifest-list analog). A concurrent writer that
+   already took snapshot ``n`` makes this raise ``ConcurrentCommitError``;
+   the loser's staged directory is removed and the caller retries from the
+   new HEAD — nothing of the winner's is clobbered;
 3. atomically rename a temp HEAD → ``_icelite/HEAD``.
 
 A crash between any steps leaves HEAD pointing at the previous snapshot;
-orphaned data directories are ignored by readers — exactly Iceberg's
+orphaned staging directories are ignored by readers — exactly Iceberg's
 "readers never see uncommitted files" contract. This is what makes the
 kill-and-resume test (tests/test_icelite_resume.py) honest: re-running after
 a mid-job kill re-extracts only pages whose url is absent from the last
 *committed* snapshot (reference resume semantics,
 ``datagen/translate_bookcorpus.py:37-50`` — checkpoint = count of committed
 sink rows — upgraded from offset-skip to key-based anti-join, SURVEY.md J3).
+
+Reads are ONE parquet scan regardless of commit count: unpartitioned
+commits resolve to an explicit file list; hive-partitioned commits name
+their directory ``__commit=<n>-<token>`` so the commit level itself parses
+as a (dropped) partition column under a shared ``basePath`` — a thousand
+incremental commits still plan as a single ``Scan parquet`` node with
+PartitionFilters intact, instead of a thousand-way union.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -66,6 +82,10 @@ class IceliteTable:
         self.root = root
         self.schema = schema
         self.partition_cols = partition_cols or []
+        # resolved cumulative file lists per snapshot (manifests are
+        # immutable once committed except via expire_snapshots, which
+        # clears this)
+        self._files_cache: dict[int, list[str]] = {}
         os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -86,67 +106,128 @@ class IceliteTable:
                                f"{sid}.json")) as f:
             return json.load(f)
 
+    def files_at(self, sid: int) -> list[str]:
+        """Cumulative data files/dirs of snapshot ``sid``, resolved by
+        walking delta manifests up the parent chain (memoized). Manifests
+        carrying a full list — legacy ``files`` form, or ``full: true``
+        written by compact()/expire_snapshots() — terminate the walk."""
+        if not sid:
+            return []
+        if sid in self._files_cache:
+            return list(self._files_cache[sid])
+        chain: list[list[str]] = []
+        cur = sid
+        while cur:
+            m = self._manifest(cur)
+            if "files" in m:  # legacy cumulative form
+                chain.append(m["files"])
+                break
+            chain.append(m["new_files"])
+            if m.get("full"):
+                break
+            cur = m["parent"]
+        out = [f for part in reversed(chain) for f in part]
+        self._files_cache[sid] = out
+        return list(out)
+
     def committed_files(self) -> list[str]:
-        sid = self.snapshot_id()
-        return self._manifest(sid)["files"] if sid else []
+        return self.files_at(self.snapshot_id())
 
     # -- read -----------------------------------------------------------------
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
-        immutable, so old snapshots stay readable after later appends)."""
+        immutable, so old snapshots stay readable after later appends).
+
+        Always ONE scan node: explicit file list (unpartitioned) or a
+        shared-basePath multi-directory scan where the ``__commit=`` level
+        parses as a synthetic partition column that is dropped after read
+        (hive partition columns and their pruning are unaffected)."""
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
-        files = self._manifest(sid)["files"] if sid else []
+        files = self.files_at(sid)
         if not files:
             return self.spark.createDataFrame([], self.schema)
         if not self.partition_cols:
             return self.spark.read.schema(self.schema).parquet(*files)
-        # partitioned layout: "files" are commit directories; basePath per
-        # commit recovers hive partition columns, and Spark's scan prunes
-        # directories from predicates on them (PartitionFilters)
-        parts = [
-            self.spark.read.schema(self.schema)
-            .option("basePath", d).parquet(d)
-            for d in files
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        reader_schema = StructType(
+            list(self.schema.fields)
+            + [StructField("__commit", StringType(), True)])
+        return (self.spark.read.schema(reader_schema)
+                .option("basePath", os.path.join(self.root, "data"))
+                .parquet(*files)
+                .drop("__commit"))
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first: [{snapshot_id, parent, n_files}]."""
+        """Commit log, oldest first: [{snapshot_id, parent, n_files}].
+        Stops at the oldest retained manifest after snapshot expiry."""
         out = []
         sid = self.snapshot_id()
         while sid:
-            m = self._manifest(sid)
+            try:
+                m = self._manifest(sid)
+            except FileNotFoundError:
+                break  # expired history below this point
             out.append({"snapshot_id": sid, "parent": m["parent"],
-                        "n_files": len(m["files"])})
+                        "n_files": len(self.files_at(sid))})
             sid = m["parent"]
         return list(reversed(out))
 
     # -- write ----------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
-        """Atomically append ``df``; returns the new snapshot id."""
-        parent = self.snapshot_id()
-        sid = parent + 1
-        data_dir = os.path.join(self.root, "data", f"commit-{sid}")
-        writer = df.write.mode("overwrite")
+    def _stage_dir(self, sid: int) -> str:
+        """Unique staging directory for one writer's attempt at ``sid``.
+        Partitioned layouts use hive ``__commit=`` naming so the shared-
+        basePath read parses the commit level as a partition column."""
+        token = uuid.uuid4().hex[:8]
+        name = (f"__commit={sid}-{token}" if self.partition_cols
+                else f"commit-{sid}-{token}")
+        return os.path.join(self.root, "data", name)
+
+    def _stage_data(self, df: DataFrame, sid: int) -> tuple[str, list[str]]:
+        """Write ``df`` into a fresh unique directory (invisible until the
+        manifest commits). Returns (staging_dir, manifest file entries)."""
+        data_dir = self._stage_dir(sid)
+        writer = df.write.mode("error")  # unique dir: must not pre-exist
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(data_dir)
         if self.partition_cols:
-            new_files = [data_dir]
-        else:
-            new_files = [
-                os.path.join(data_dir, f)
-                for f in os.listdir(data_dir)
-                if f.endswith(".parquet")
-            ]
-        files = (self._manifest(parent)["files"] if parent else []) + sorted(new_files)
-        manifest = {"snapshot_id": sid, "parent": parent, "files": files}
-        self._commit_manifest(sid, manifest)
+            return data_dir, [data_dir]
+        return data_dir, sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir) if f.endswith(".parquet"))
+
+    def append(self, df: DataFrame, meta=None) -> int:
+        """Atomically append ``df``; returns the new snapshot id. On a lost
+        commit race the staged files are removed and
+        ``ConcurrentCommitError`` propagates — the winner's files were
+        never shared, so nothing is clobbered either way.
+
+        ``meta``: optional callable evaluated AFTER the staging write job
+        (so Observation metrics are available) whose dict is merged into
+        the manifest — how merge_on_key records per-commit row counts
+        without a second pass."""
+        parent = self.snapshot_id()
+        sid = parent + 1
+        data_dir, new_files = self._stage_data(df, sid)
+        manifest = {"snapshot_id": sid, "parent": parent,
+                    "new_files": new_files}
+        if meta is not None:
+            manifest.update(meta())
+        try:
+            self._commit_manifest(sid, manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         return sid
+
+    def row_count(self) -> int | None:
+        """Committed row count at HEAD, from manifest metadata — zero Spark
+        jobs. ``None`` if the head commit didn't record one (generic
+        ``append`` without meta); 0 for an empty table."""
+        sid = self.snapshot_id()
+        if not sid:
+            return 0
+        return self._manifest(sid).get("total_rows")
 
     def _commit_manifest(self, sid: int, manifest: dict) -> None:
         """Optimistic commit: the manifest file is created EXCLUSIVELY —
@@ -197,12 +278,23 @@ class IceliteTable:
             df = df.dropDuplicates([key])
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
+            parent_total = self.row_count()
             existing = self.read().select(key)
             obs = Observation()
             fresh = (df.join(existing, key, "left_anti")
                      .observe(obs, F.count(F.lit(1)).alias("inserted")))
+
+            def meta():
+                ins = int(obs.get["inserted"])
+                m = {"inserted": ins}
+                if parent_total is not None:
+                    # cumulative count rides the manifest: the job summary
+                    # reads it back with zero Spark jobs
+                    m["total_rows"] = parent_total + ins
+                return m
+
             try:
-                sid = self.append(fresh)
+                sid = self.append(fresh, meta=meta)
             except ConcurrentCommitError as e:
                 last_err = e
                 continue
@@ -214,51 +306,71 @@ class IceliteTable:
         """Rewrite the current snapshot into ``target_partitions`` files
         (Iceberg ``rewrite_data_files`` analog — incremental appends
         accumulate small files; at web scale the scan's split planning
-        drowns in them). The new snapshot REPLACES the file list; older
-        snapshots keep reading their own immutable files."""
+        drowns in them). The new snapshot's manifest carries the full
+        rewritten list (``full: true`` — it REPLACES history for readers);
+        older snapshots keep reading their own immutable files."""
         parent = self.snapshot_id()
         sid = parent + 1
-        data_dir = os.path.join(self.root, "data", f"commit-{sid}")
         current = self.read()
-        writer = (current.repartition(target_partitions)
-                  .write.mode("overwrite"))
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
-        writer.parquet(data_dir)
-        if self.partition_cols:
-            files = [data_dir]
-        else:
-            files = sorted(
-                os.path.join(data_dir, f)
-                for f in os.listdir(data_dir) if f.endswith(".parquet"))
-        manifest = {"snapshot_id": sid, "parent": parent, "files": files,
-                    "compacted": True}
-        self._commit_manifest(sid, manifest)
+        data_dir, files = self._stage_data(
+            current.repartition(target_partitions), sid)
+        manifest = {"snapshot_id": sid, "parent": parent,
+                    "new_files": files, "full": True, "compacted": True}
+        total = self.row_count()
+        if total is not None and parent:
+            manifest["total_rows"] = total  # row-preserving rewrite
+        try:
+            self._commit_manifest(sid, manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         return sid
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Drop manifests (and data files referenced by NO retained
         snapshot) older than the last ``keep_last`` snapshots. Returns the
         expired snapshot ids. Time travel to expired ids stops working —
-        exactly Iceberg's ``expire_snapshots`` contract."""
+        exactly Iceberg's ``expire_snapshots`` contract.
+
+        The oldest retained manifest is first rewritten with its FULL
+        resolved file list (``full: true``) so later parent-chain walks
+        never descend into expired manifests."""
         head = self.snapshot_id()
-        retained = set(range(max(1, head - keep_last + 1), head + 1))
+        if not head:
+            return []
+        oldest_keep = max(1, head - keep_last + 1)
+        # resolve everything needed BEFORE any manifest disappears
         keep_files: set[str] = set()
-        for sid in retained:
-            keep_files.update(self._manifest(sid)["files"])
+        for sid in range(oldest_keep, head + 1):
+            keep_files.update(self.files_at(sid))
+        m = self._manifest(oldest_keep)
+        if "files" not in m and not m.get("full"):
+            sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
+                      "new_files": self.files_at(oldest_keep), "full": True}
+            for k in ("inserted", "total_rows"):
+                if k in m:
+                    sealed[k] = m[k]
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.join(self.root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump(sealed, f)
+            os.replace(tmp, os.path.join(self.root, "_icelite", "commits",
+                                         f"{oldest_keep}.json"))
         expired = []
-        for sid in range(1, max(1, head - keep_last + 1)):
+        for sid in range(1, oldest_keep):
             mpath = os.path.join(self.root, "_icelite", "commits",
                                  f"{sid}.json")
             if not os.path.exists(mpath):
                 continue
-            for f in self._manifest(sid)["files"]:
+            old = self._manifest(sid)
+            delta = old["files"] if "files" in old else old["new_files"]
+            for f in delta:
                 if f not in keep_files and os.path.exists(f):
                     if os.path.isdir(f):
-                        import shutil
                         shutil.rmtree(f, ignore_errors=True)
                     else:
                         os.remove(f)
             os.remove(mpath)
             expired.append(sid)
+        self._files_cache.clear()
         return expired

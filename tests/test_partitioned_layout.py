@@ -74,3 +74,41 @@ def test_partitioned_time_travel(spark, tmp_path):
     t.append(_layout_df(spark, 100, 200))
     assert t.read(snapshot_id=1).count() == n1
     assert t.read().count() == 200
+
+
+def test_many_commits_single_scan_and_delta_manifests(spark, tmp_path):
+    """Metadata growth bounds (r2 VERDICT #4): after many incremental
+    commits the read plans as ONE parquet scan (no unionByName chain), and
+    each manifest stores only its own delta, not the cumulative list."""
+    import json
+    import os
+
+    t = IceliteTable(spark, str(tmp_path / "many"), LAYOUT_SCHEMA,
+                     partition_cols=["warc_day", "bucket"])
+    n_commits = 12
+    for i in range(n_commits):
+        t.append(_layout_df(spark, i * 25, (i + 1) * 25))
+
+    full = t.read()
+    assert full.count() == 25 * n_commits
+    import re
+
+    plan = _plan(full)
+    # formatted plans print each node once in the tree and once in the
+    # detail section — count detail headers: exactly ONE scan, no union
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Union" not in plan
+    # pruning still bites through the shared-basePath layout
+    plan_p = _plan(full.filter(F.col("bucket") == 3))
+    assert "PartitionFilters" in plan_p and "bucket" in plan_p
+
+    # delta manifests: every commit's manifest lists exactly its own files
+    for sid in range(1, n_commits + 1):
+        with open(os.path.join(t.root, "_icelite", "commits",
+                               f"{sid}.json")) as f:
+            m = json.load(f)
+        assert len(m["new_files"]) == 1  # one commit dir per append
+    # resolution is cumulative
+    assert len(t.files_at(n_commits)) == n_commits
+    # time travel unaffected
+    assert t.read(snapshot_id=3).count() == 75
