@@ -100,6 +100,18 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
             dedup.release_caches()  # minhash shingle cache: scoped per query
 
+        # the 100 TB hot-shingle guard, measured: same LSH pipeline with the
+        # document-frequency cap active (one extra groupBy + broadcast
+        # anti-join over the shingle stream). df_cap=400 exceeds this
+        # corpus's max shingle df (338), so results are IDENTICAL and the
+        # delta vs dedup_minhash_lsh is the guard's pure overhead; see
+        # BENCH/PLANS.md for the aggressive-cap benefit measurement.
+        t0 = time.perf_counter()
+        force(dedup.dedup_minhash_lsh(spark, sf_dir, df_cap=400))
+        timings["dedup_minhash_lsh_dfcap"] = round(
+            time.perf_counter() - t0, 3)
+        dedup.release_caches()
+
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "suite_seconds",

@@ -241,6 +241,15 @@ def dense_id(df: DataFrame, order_col: str, n_buckets: int = 32) -> DataFrame:
        the bucket's cumulative offset from a literal map.
 
     Every shuffle is on the small bucket id; no single-task global sort.
+
+    CONTRACT: ``df`` must be deterministic across re-evaluation — the
+    input is computed THREE times (quantile probe, bucket-count collect,
+    final ranking plan), so a non-deterministic source (e.g. a fresh
+    ``rand()`` column, a non-idempotent UDF, or a table mutated between
+    actions) can disagree between passes and silently duplicate or skip
+    seq values. Callers with such inputs must ``persist()`` (or
+    checkpoint) first; every in-repo call site feeds a deterministic
+    parquet-backed projection.
     """
     key = F.col(order_col)
     qs = [i / n_buckets for i in range(1, n_buckets)]

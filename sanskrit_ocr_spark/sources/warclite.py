@@ -56,13 +56,24 @@ def write_warc(path: str, records: list[tuple[str, datetime, bytes]]) -> None:
 
 
 def _iter_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress each concatenated gzip member in turn — O(member) memory."""
+    """Decompress each concatenated gzip member in turn — O(member) memory.
+
+    A corrupt member mid-file must not discard the already-decoded prefix
+    (no-silent-drops): the valid members are yielded as they decode, and
+    the unreadable tail surfaces as ONE empty member (→ a NULL row the
+    caller counts), after which iteration stops — resynchronizing inside
+    corrupt gzip data is not possible."""
     pos = 0
     n = len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out = d.decompress(blob[pos:])
-        yield out + d.flush()
+        try:
+            out = d.decompress(blob[pos:])
+            out += d.flush()
+        except zlib.error:
+            yield b""  # unreadable tail → one parse-fail row, prefix kept
+            return
+        yield out
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             return  # garbage tail: stop rather than loop forever
@@ -108,11 +119,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             urls, tss, payloads = [], [], []
             for blob in pdf["content"]:
-                try:
-                    members = list(_iter_members(bytes(blob)))
-                except zlib.error:
-                    members = [b""]  # whole file unreadable → one NULL row
-                for rec in members:
+                # _iter_members keeps the valid prefix of a partially
+                # corrupt segment and emits one empty member for the
+                # unreadable tail — a NULL row here, never a lost prefix
+                for rec in _iter_members(bytes(blob)):
                     url, ts, payload = _parse_record(rec)
                     urls.append(url)
                     tss.append(ts)

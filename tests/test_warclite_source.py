@@ -56,3 +56,21 @@ def test_warc_corrupt_member_yields_null_row(spark, tmp_path):
     df = read_warc(spark, str(tmp_path))
     assert df.filter(F.col("url").isNull()).count() >= 2
     assert df.filter(F.col("url").isNotNull()).count() == 20
+
+
+def test_warc_partial_corruption_keeps_valid_prefix(spark, tmp_path):
+    """A zlib error PARTWAY through a segment must not discard the
+    already-decoded members (r2 ADVICE): the valid prefix survives, the
+    unreadable tail becomes exactly one NULL row."""
+    _write_corpus(tmp_path, n=20, files=1)
+    seg = tmp_path / "seg-00000.warc.gz"
+    # truncate the final gzip member mid-stream: valid members decode,
+    # then the decompressor hits EOF-inside-member
+    data = seg.read_bytes()
+    seg.write_bytes(data[:-30] + os.urandom(10))
+    df = read_warc(spark, str(tmp_path)).toPandas()
+    # 19 intact records survive; the corrupt tail is 1-2 NULL rows (the
+    # truncated member, possibly one garbage-resync stop), never a wipeout
+    ok = df[df["url"].notna()]
+    assert len(ok) == 19
+    assert df["url"].isna().sum() >= 1
