@@ -32,3 +32,29 @@ def windowed_counts(stream: DataFrame, ts_col: str, key_col: str,
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     key_col, "n"))
+
+
+def session_counts(stream: DataFrame, ts_col: str, key_col: str,
+                   gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per key — the streaming twin of the batch
+    sessionizer (``ops/relational.py:w2_sessionize``): a session extends
+    until ``gap`` of event-time silence, merged incrementally by
+    ``session_window`` state. The watermark finalizes (and emits, in
+    append mode) sessions whose end falls behind the event-time horizon —
+    the same state/lateness bound as ``windowed_counts``.
+
+    Boundary semantics: ``session_window`` keeps an event in the session
+    iff it arrives strictly within ``gap`` of the last event (window end =
+    last event + gap, half-open) — an event at exactly ``gap`` starts a
+    new session, where the batch w2 keeps strictly-greater gaps together;
+    the parity test mirrors this ``>=`` convention.
+    """
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                     F.col(key_col))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    key_col, "n_events"))

@@ -301,6 +301,64 @@ class IceliteTable:
             return sid, int(obs.get["inserted"])
         raise last_err  # type: ignore[misc]
 
+    def merge_upsert(self, df: DataFrame, key: str,
+                     order_col: str | None = None) -> tuple[int, int]:
+        """Full MERGE: ``WHEN MATCHED THEN UPDATE (replace row) WHEN NOT
+        MATCHED THEN INSERT`` — the copy-on-write arm merge_on_key omits
+        (the extraction job never rewrites a url; re-crawl/backfill jobs
+        do). Copy-on-write like Iceberg's default MERGE: the new snapshot
+        rewrites the union (kept old rows ∪ all source rows) with
+        ``full: true``, so older snapshots time-travel unchanged.
+
+        Returns ``(snapshot_id, updated)`` where ``updated`` counts target
+        rows replaced by a source row. Within-batch duplicate keys resolve
+        first-wins by ``order_col`` exactly as merge_on_key.
+
+        Scale note: COW MERGE rewrites the whole table — correct but
+        O(table) per call, which is why the hot-path resume checkpoint is
+        the insert-only arm; Iceberg's merge-on-read (delete files) is the
+        10^12-row answer for frequent updates and is out of icelite's
+        scope by design.
+        """
+        from pyspark.sql import Observation
+
+        if order_col:
+            w = Window.partitionBy(F.xxhash64(key), key) \
+                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            df = df.dropDuplicates([key])
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(3):
+            prev_total = self.row_count()
+            parent = self.snapshot_id()
+            sid = parent + 1
+            current = self.read()
+            obs_kept, obs_src = Observation(), Observation()
+            kept = (current.join(df.select(key), key, "left_anti")
+                    .observe(obs_kept, F.count(F.lit(1)).alias("n")))
+            src = (df.select(*current.columns)
+                   .observe(obs_src, F.count(F.lit(1)).alias("n")))
+            data_dir, new_files = self._stage_data(kept.unionByName(src), sid)
+            # both observations ride the single staging job
+            n_kept, n_src = int(obs_kept.get["n"]), int(obs_src.get["n"])
+            manifest = {"snapshot_id": sid, "parent": parent,
+                        "new_files": new_files, "full": True,
+                        "merged_upsert": True,
+                        "total_rows": n_kept + n_src}
+            try:
+                self._commit_manifest(sid, manifest)
+            except ConcurrentCommitError as e:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                last_err = e
+                continue
+            # replaced target rows = old total − survivors; −1 when the
+            # prior commit lacked a recorded total (bare append history)
+            updated = prev_total - n_kept if prev_total is not None else -1
+            return sid, updated
+        raise last_err  # type: ignore[misc]
+
     # -- maintenance ------------------------------------------------------------
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
@@ -374,3 +432,36 @@ class IceliteTable:
             expired.append(sid)
         self._files_cache.clear()
         return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data directories referenced by NO surviving manifest —
+        Iceberg's ``remove_orphan_files`` analog. Unique staging dirs make
+        lost-race/crashed writers leave orphans behind by design (readers
+        never see them); this reclaims the space. Safe against every
+        retained snapshot, not just HEAD: the keep set is the union of all
+        manifests' resolved file lists."""
+        commits_dir = os.path.join(self.root, "_icelite", "commits")
+        keep_dirs: set[str] = set()
+        for name in os.listdir(commits_dir):
+            if not name.endswith(".json"):
+                continue
+            sid = int(name[:-5])
+            try:
+                entries = self.files_at(sid)
+            except FileNotFoundError:
+                # manifest whose parent chain was expired (itself an
+                # orphan): keep ITS OWN files conservatively
+                m = self._manifest(sid)
+                entries = m["files"] if "files" in m else m["new_files"]
+            for f in entries:
+                # normalize file entries to their commit directory
+                d = f if os.path.isdir(f) else os.path.dirname(f)
+                keep_dirs.add(os.path.normpath(d))
+        data_root = os.path.join(self.root, "data")
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.normpath(os.path.join(data_root, name))
+            if d not in keep_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+        return removed

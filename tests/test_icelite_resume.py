@@ -215,3 +215,38 @@ def test_concurrent_merges_from_threads(spark, tmp_path):
     full = t.read()
     assert full.count() == 98 * 3
     assert full.select("url").distinct().count() == 98 * 3
+
+
+def test_merge_upsert_replaces_matched_rows(spark, tmp_path):
+    """Copy-on-write MERGE with the matched-UPDATE arm: matched keys get
+    the source row, unmatched keys insert, untouched rows survive, and
+    older snapshots time-travel unchanged."""
+    root = str(tmp_path / "upsert")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    before = {r["url"]: r["text"] for r in t.read().collect()}
+    assert len(before) == 98
+
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+
+    # re-crawl analog: 50 overlapping urls with MUTATED text + 100 new
+    overlap = extract_pages(_pages(spark, 0, 50)) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    fresh = extract_pages(_pages(spark, 100, 200))
+    src = overlap.unionByName(fresh)
+
+    sid, updated = t.merge_upsert(src, "url", order_col="warc_ts")
+    after = {r["url"]: r["text"] for r in t.read().collect()}
+
+    overlap_urls = {r["url"] for r in overlap.select("url").collect()}
+    assert updated == len(overlap_urls)
+    # matched rows replaced
+    assert all(after[u].endswith(" v2") for u in overlap_urls)
+    # unmatched old rows untouched, new rows inserted, no duplicates
+    untouched = set(before) - overlap_urls
+    assert all(after[u] == before[u] for u in untouched)
+    # 98 old urls (50ish replaced in place) + 98 new urls from block 100-200
+    assert len(after) == t.row_count() == len(before) + 98
+    # time travel: the pre-merge snapshot still shows the old text
+    old = {r["url"]: r["text"] for r in t.read(snapshot_id=sid - 1).collect()}
+    assert old == before

@@ -68,3 +68,47 @@ def test_expire_after_compact_removes_old_files(spark, tmp_path):
     # compacted table intact; every pre-compaction data file physically gone
     assert t.read().count() == n
     assert all(not os.path.exists(f) for f in old_files)
+
+
+def test_remove_orphans(spark, tmp_path):
+    """Iceberg remove_orphan_files analog: staging dirs left by crashed or
+    race-losing writers are reclaimed; every dir referenced by ANY
+    surviving manifest survives (not just HEAD's)."""
+    import os
+
+    root = str(tmp_path / "orph")
+    for lo in (0, 100):
+        run_extraction(spark, _pages(spark, lo, lo + 100), root,
+                       committed_at=TS)
+    t = extracted_table(spark, root)
+    n = t.read().count()
+
+    # a crashed writer: staged data, never committed
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+    orphan_dir, _ = t._stage_data(
+        extract_pages(_pages(spark, 200, 250)), t.snapshot_id() + 1)
+    assert os.path.isdir(orphan_dir)
+
+    removed = t.remove_orphans()
+    assert [os.path.basename(d) for d in removed] == \
+        [os.path.basename(orphan_dir)]
+    assert not os.path.exists(orphan_dir)
+    # both committed snapshots still read intact
+    assert t.read().count() == n
+    assert t.read(snapshot_id=1).count() < n
+
+
+def test_row_count_metadata_tracks_merges(spark, tmp_path):
+    """merge_on_key records cumulative row counts in the manifest; compact
+    and expire preserve them — the zero-job job summary's source."""
+    root = str(tmp_path / "rc")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    assert t.row_count() == 98  # 2 dup urls per 100-row block
+    run_extraction(spark, _pages(spark, 0, 200), root, committed_at=TS)
+    assert t.row_count() == 196
+    t.compact(target_partitions=1)
+    assert t.row_count() == 196
+    t.expire_snapshots(keep_last=1)
+    assert t.row_count() == 196
+    assert t.read().count() == 196

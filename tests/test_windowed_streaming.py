@@ -45,3 +45,65 @@ def test_windowed_counts_match_batch(spark, tmp_path):
               .join(finalized, ["window_start", "event_type"], "right"))
     assert joined.filter(F.col("n_stream").isNull()).count() == 0
     assert joined.filter(F.col("n_stream") != F.col("n")).count() == 0
+
+
+def test_session_windows_match_batch_sessionize(spark, tmp_path):
+    """Stream/batch sessionization parity (r2 VERDICT stretch): drained
+    session_window stream == the w2-style batch gap sessionizer, for every
+    session the watermark has finalized."""
+    from pyspark.sql.window import Window
+
+    from sanskrit_ocr_spark.streaming.windowed import session_counts
+
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    src = str(tmp_path / "sess_src")
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(src)
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (session_counts(stream, "ts", "user_id", gap="30 minutes")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+
+    # batch sessionizer with session_window's >= boundary convention
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), 1) \
+                .otherwise(0)
+    batch = (ev.withColumn(
+                 "sess_id",
+                 F.sum(new_sess).over(
+                     w.rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow)))
+             .groupBy("user_id", "sess_id")
+             .agg(F.min("ts").alias("session_start"),
+                  F.max("ts").alias("last_ts"),
+                  F.count("*").alias("n")))
+
+    # availableNow drain finalizes sessions whose END (last+gap) is behind
+    # the watermark horizon of the max event time
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    finalized = batch.filter(
+        F.col("last_ts") + F.expr("INTERVAL 30 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+
+    joined = (got.select("user_id", "session_start",
+                         F.col("n_events").alias("n_stream"))
+              .join(finalized, ["user_id", "session_start"], "right"))
+    assert finalized.count() > 0
+    assert joined.filter(F.col("n_stream").isNull()).count() == 0
+    assert joined.filter(F.col("n_stream") != F.col("n")).count() == 0
+    # stream emitted nothing the batch comparator lacks (among finalized)
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    extra = (got.filter(F.col("session_end") <= horizon)
+             .join(finalized, ["user_id", "session_start"], "left_anti"))
+    assert extra.count() == 0
