@@ -92,6 +92,17 @@ def main() -> int:
         extract_docs_per_sec = round(n_extracted / dt, 1)
         extract_passes = [round(n_extracted / p, 1) for p in passes]
 
+        # end-to-end job rate: extract → MERGE-on-url → icelite commit +
+        # lineage (the north metric includes the write path; extract_pages
+        # above isolates the UDF stage for r1/r2 comparability)
+        from sanskrit_ocr_spark.extract.job import run_extraction
+        e2e_root = os.path.join(tmp, "e2e_table")
+        t0 = time.perf_counter()
+        run_extraction(spark, pages, e2e_root)
+        e2e_dt = time.perf_counter() - t0
+        timings["extract_commit_e2e"] = round(e2e_dt, 3)
+        e2e_docs_per_sec = round(n_extracted / e2e_dt, 1)
+
         from sanskrit_ocr_spark.ops import dedup
 
         for name in headline:
@@ -122,6 +133,7 @@ def main() -> int:
             "extract_rows": n_extracted,
             "extract_docs_per_sec": extract_docs_per_sec,
             "extract_passes_docs_per_sec": extract_passes,
+            "extract_commit_e2e_docs_per_sec": e2e_docs_per_sec,
             "cpus": cpus,
         }))
         return 0
