@@ -120,12 +120,31 @@ def grapheme_clusters(text: str) -> list[str]:
     return clusters
 
 
+# Fast path for post-filter text (alphabet exactly U+0900–U+097F + space,
+# so ZWJ/ZWNJ and out-of-block combining marks cannot occur): one C-level
+# regex pass counts precisely the clusters the loop below would. A cluster
+# = any non-space char, extended by block combining marks (GB9/GB9a) or by
+# a consonant whose immediately-preceding char is virama (GB9c) — the
+# (?<=्) lookbehind IS the loop's pending_linker on this alphabet, since
+# the join controls that could carry linker state are filtered out.
+# Space clusters are skipped by construction ([^ ] start), matching the
+# loop's space_only accounting (a mark after a space starts the match at
+# the mark — different cluster CONTENT, same cluster COUNT).
+_EXT_BLOCK = "".join(ch for ch in map(chr, range(0x0900, 0x0980))
+                     if ch in _EXTEND_SET)
+_CLUSTER_BLOCK_RE = re.compile(  # consonants \u0915-\u0939 + nukta \u0958-\u095F
+    f"[^ ](?:[{_EXT_BLOCK}]|(?<=\u094d)[\u0915-\u0939\u0958-\u095F])*")
+_BLOCK_ONLY_RE = re.compile(r"[ऀ-ॿ ]*\Z")
+
+
 def grapheme_count(text: str) -> int:
     """Count non-space grapheme clusters — same cluster boundaries as
     ``grapheme_clusters`` (differentially tested) without building the
-    cluster strings. ``_is_extend`` is inlined (set-first, category only
-    for out-of-block input): this loop runs per character of every
-    extracted document and the call overhead dominated the profile."""
+    cluster strings. Post-filter text (the hot path: every extracted
+    document) takes the single-regex count; arbitrary input falls back to
+    the explicit loop with ``_is_extend`` inlined."""
+    if _BLOCK_ONLY_RE.match(text):
+        return len(_CLUSTER_BLOCK_RE.findall(text))
     ext = _EXTEND_SET
     cons = _CONSONANT_SET
     category = unicodedata.category

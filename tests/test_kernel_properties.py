@@ -97,3 +97,17 @@ def test_xycut_reading_order_is_storage_order_invariant(words, seed):
     payload2 = PDF_MAGIC + json.dumps({"words": shuffled},
                                       ensure_ascii=False).encode()
     assert extract_pdf_layout(payload2) == base
+
+
+@given(st.text(alphabet=st.one_of(_dev, st.just(" ")), max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_grapheme_count_regex_fast_path_matches_loop(s):
+    """The block-only regex fast path must count exactly what the explicit
+    loop counts (and both equal the cluster-list reference)."""
+    from sanskrit_ocr_spark.kernels.devanagari import (
+        _BLOCK_ONLY_RE, grapheme_clusters, grapheme_count)
+    expect = sum(1 for c in grapheme_clusters(s) if c != " ")
+    assert grapheme_count(s) == expect
+    if _BLOCK_ONLY_RE.match(s):  # fast path actually taken for block text
+        from sanskrit_ocr_spark.kernels.devanagari import _CLUSTER_BLOCK_RE
+        assert len(_CLUSTER_BLOCK_RE.findall(s)) == expect
