@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="also curate the extracted table (quality gate + "
                         "first-wins dedup) into DEST/corpus parquet + "
                         "DEST/captions_jsonl")
+    p.add_argument("--wet-dest",
+                   help="also export OK-status extracted text as WET-style "
+                        ".warc.gz conversion segments (one per partition)")
     args = p.parse_args(argv)
 
     spark = build_spark(app="extract-job", master=args.master,
@@ -97,6 +100,15 @@ def main(argv: list[str] | None = None) -> int:
             from sanskrit_ocr_spark.extract.curate import curate, write_corpus
             summary["corpus"] = write_corpus(curate(ext_t.read()),
                                              args.curate_dest)
+        if args.wet_dest:
+            from sanskrit_ocr_spark.sources.warclite import write_wet
+            segs = write_wet(
+                ext_t.read().filter(F.col("status") == "OK"),
+                args.wet_dest).collect()
+            summary["wet"] = {
+                "segments": len(segs),
+                "records": int(sum(r["n_records"] for r in segs)),
+            }
         print(json.dumps(summary))
         return 0
     finally:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -34,10 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 
-def _record_bytes(url: str, warc_ts: datetime, payload: bytes) -> bytes:
+def _record_bytes(url: str, warc_ts: datetime, payload: bytes,
+                  warc_type: str = "response") -> bytes:
     head = (
         "WARC/1.0\r\n"
-        "WARC-Type: response\r\n"
+        f"WARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {warc_ts.strftime(WARC_DATE_FMT)}\r\n"
         f"Content-Length: {len(payload)}\r\n"
@@ -80,7 +82,8 @@ def _iter_members(blob: bytes) -> Iterator[bytes]:
         pos += consumed
 
 
-def _parse_record(rec: bytes) -> tuple[str | None, datetime | None, bytes | None]:
+def _parse_record(rec: bytes, warc_type: str = "response",
+                  ) -> tuple[str | None, datetime | None, bytes | None]:
     try:
         head_end = rec.index(b"\r\n\r\n")
         headers = {}
@@ -90,7 +93,7 @@ def _parse_record(rec: bytes) -> tuple[str | None, datetime | None, bytes | None
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != warc_type:
             return None, None, None
         url = headers["warc-target-uri"]
         ts = datetime.strptime(headers["warc-date"], WARC_DATE_FMT)
@@ -103,12 +106,15 @@ def _parse_record(rec: bytes) -> tuple[str | None, datetime | None, bytes | None
         return None, None, None
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              warc_type: str = "response") -> DataFrame:
     """WARC files under ``path`` → DataFrame ``(url, warc_ts, html)``.
 
     One input task per file (``binaryFile``); records explode out of the
-    per-file Arrow batch. Unparseable members yield ``url IS NULL`` rows
-    so ingestion failures are countable, never silent.
+    per-file Arrow batch. Unparseable members (or records of another
+    WARC-Type) yield ``url IS NULL`` rows so ingestion failures are
+    countable, never silent. ``warc_type="conversion"`` reads WET-style
+    extracted-text segments (payload = UTF-8 text bytes).
     """
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc.gz")
@@ -123,7 +129,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 # corrupt segment and emits one empty member for the
                 # unreadable tail — a NULL row here, never a lost prefix
                 for rec in _iter_members(bytes(blob)):
-                    url, ts, payload = _parse_record(rec)
+                    url, ts, payload = _parse_record(rec, warc_type)
                     urls.append(url)
                     tss.append(ts)
                     payloads.append(payload)
@@ -132,3 +138,45 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     return files.mapInPandas(
         body, schema="url string, warc_ts timestamp, html binary")
+
+
+def write_wet(df: DataFrame, out_dir: str, prefix: str = "wet") -> DataFrame:
+    """Distributed WET-style export: ``(url, warc_ts, text)`` → one
+    ``.warc.gz`` segment file PER PARTITION of ``conversion`` records
+    (Common Crawl's extracted-text companion format to WARC; same
+    one-gzip-member-per-record framing, so the segments are streamable
+    and record-seekable, and ``read_warc(..., warc_type="conversion")``
+    reads them back).
+
+    Returns a summary DataFrame ``(path, n_records)`` — one row per
+    written segment. Scale shape: a pure map over partitions (no shuffle,
+    no driver data); segment count = partition count, so the caller sizes
+    segments with ``repartition`` exactly like any file sink. File names
+    carry a uuid: concurrent/retried tasks can never clobber each other
+    (same discipline as icelite staging)."""
+    import uuid as _uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        path = None
+        f = None
+        n = 0
+        for pdf in batches:
+            if f is None and len(pdf):
+                path = os.path.join(
+                    out_dir, f"{prefix}-{_uuid.uuid4().hex[:12]}.warc.gz")
+                f = open(path, "wb")
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["text"]):
+                rec = _record_bytes(url, ts.to_pydatetime(),
+                                    str(text).encode("utf-8"),
+                                    warc_type="conversion")
+                f.write(gzip.compress(rec, mtime=0))
+                n += 1
+        if f is not None:
+            f.close()
+            yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    return (df.select("url", "warc_ts", "text")
+            .mapInPandas(body, schema="path string, n_records long"))

@@ -74,3 +74,32 @@ def test_warc_partial_corruption_keeps_valid_prefix(spark, tmp_path):
     ok = df[df["url"].notna()]
     assert len(ok) == 19
     assert df["url"].isna().sum() >= 1
+
+
+def test_wet_export_roundtrip(spark, tmp_path):
+    """WET-style conversion-record export: extracted text written as
+    per-partition .warc.gz segments reads back losslessly (and response
+    readers ignore conversion records and vice versa)."""
+    from pyspark.sql import functions as F
+
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+    from sanskrit_ocr_spark.sources.warclite import write_wet
+
+    pages = spark.createDataFrame(pages_pandas(0, 120), schema=PAGES_SCHEMA)
+    ext = (extract_pages(pages)
+           .filter(F.col("status") == "OK")
+           .dropDuplicates(["url"]))
+    expect = {(r["url"], r["text"]) for r in ext.collect()}
+
+    out = str(tmp_path / "wet_out")
+    summary = write_wet(ext.repartition(4), out).collect()
+    assert sum(r["n_records"] for r in summary) == len(expect)
+    assert 1 <= len(summary) <= 4  # one segment per non-empty partition
+
+    back = read_warc(spark, out, warc_type="conversion") \
+        .filter("url is not null")
+    got = {(r["url"], bytes(r["html"]).decode("utf-8"))
+           for r in back.collect()}
+    assert got == expect
+    # a response-mode read of WET segments yields only NULL (countable)
+    assert read_warc(spark, out).filter("url is not null").count() == 0
