@@ -552,6 +552,36 @@ FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def r2_event_cube(spark, sf):
+    """CUBE over (event_type, json k): every grouping-set combination in
+    one pass — Spark expands to a union of partial aggregates under one
+    shuffle, same as the SQL GROUP BY CUBE. Rolled-up dimensions surface
+    as sentinels so the NULL-vs-missing distinction stays hashable."""
+    ev = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"), "value")
+            .cube("event_type", "k")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n"),
+                 _dec_sum(F.col("value"), "sum_value"))
+            .select(F.coalesce(F.col("event_type"), F.lit("<ALL>"))
+                    .alias("event_type"),
+                    F.coalesce(F.col("k"), F.lit(-1)).alias("k"),
+                    "gid", "n", "sum_value"))
+
+
+R2_SQL = """
+SELECT coalesce(event_type, '<ALL>') AS event_type,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+       CAST(GROUPING(event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS gid,
+       count(*) AS n, sum(value::DECIMAL(20,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(json_extract_string(props, '$.k') AS BIGINT))
+"""
+
+
 # --- P8: JSON path extraction (lineage-payload shape, SURVEY §2.12) ----------
 
 def p8_json_extract(spark, sf):
@@ -630,6 +660,7 @@ QUERIES = {
     "q6_revenue_delta": q6_revenue_delta,
     "w3_asof_join": w3_asof_join,
     "r1_event_rollup": r1_event_rollup,
+    "r2_event_cube": r2_event_cube,
 }
 
 ORACLES = {
@@ -660,4 +691,5 @@ ORACLES = {
     "q6_revenue_delta": Q6_SQL,
     "w3_asof_join": W3_SQL,
     "r1_event_rollup": R1_SQL,
+    "r2_event_cube": R2_SQL,
 }
