@@ -57,8 +57,10 @@ def write_warc(path: str, records: list[tuple[str, datetime, bytes]]) -> None:
                                   mtime=0))
 
 
-def _iter_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress each concatenated gzip member in turn — O(member) memory.
+def _iter_members_spans(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Decompress each concatenated gzip member in turn — O(member)
+    memory — yielding ``(offset, compressed_length, decompressed_bytes)``
+    so callers can build a CDX-style seek index over the members.
 
     A corrupt member mid-file must not discard the already-decoded prefix
     (no-silent-drops): the valid members are yielded as they decode, and
@@ -73,13 +75,19 @@ def _iter_members(blob: bytes) -> Iterator[bytes]:
             out = d.decompress(blob[pos:])
             out += d.flush()
         except zlib.error:
-            yield b""  # unreadable tail → one parse-fail row, prefix kept
+            yield pos, n - pos, b""  # unreadable tail → one parse-fail row
             return
-        yield out
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
+            yield pos, n - pos, out
             return  # garbage tail: stop rather than loop forever
+        yield pos, consumed, out
         pos += consumed
+
+
+def _iter_members(blob: bytes) -> Iterator[bytes]:
+    for _, _, out in _iter_members_spans(blob):
+        yield out
 
 
 def _parse_record(rec: bytes, warc_type: str = "response",
@@ -138,6 +146,63 @@ def read_warc(spark: SparkSession, path: str,
 
     return files.mapInPandas(
         body, schema="url string, warc_ts timestamp, html binary")
+
+
+def build_cdx(spark: SparkSession, path: str,
+              warc_type: str = "response") -> DataFrame:
+    """CDX-style record index over WARC segments: one row per parseable
+    record ``(url, warc_ts, segment, offset, length)`` where
+    ``offset``/``length`` delimit the record's OWN gzip member inside the
+    segment file — the property the per-record-gzip framing exists for.
+    ``fetch_record`` then reads a single record with one ranged read + one
+    member decompress, no segment scan (Common Crawl's CDX contract).
+
+    Scale shape: same scan-only plan as ``read_warc`` (one task per
+    segment, no shuffle); the index is a small table the caller sorts/
+    partitions by url as needed."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc.gz")
+             .load(path)
+             .select("path", "content"))
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, segs, offs, lens = [], [], [], [], []
+            for seg_path, blob in zip(pdf["path"], pdf["content"]):
+                for off, clen, rec in _iter_members_spans(bytes(blob)):
+                    url, ts, _payload = _parse_record(rec, warc_type)
+                    if url is None:
+                        continue  # unparseable members aren't seekable
+                    urls.append(url)
+                    tss.append(ts)
+                    segs.append(seg_path)
+                    offs.append(off)
+                    lens.append(clen)
+            yield pd.DataFrame({
+                "url": urls, "warc_ts": tss, "segment": segs,
+                "offset": pd.array(offs, dtype="int64"),
+                "length": pd.array(lens, dtype="int64"),
+            })
+
+    return files.mapInPandas(
+        body, schema="url string, warc_ts timestamp, segment string,"
+                     " offset long, length long")
+
+
+def fetch_record(segment: str, offset: int, length: int,
+                 warc_type: str = "response",
+                 ) -> tuple[str | None, datetime | None, bytes | None]:
+    """Random access to ONE record via its CDX entry: ranged read of the
+    record's gzip member, one decompress, one header parse — O(record),
+    independent of segment size."""
+    seg = segment
+    if seg.startswith("file:"):
+        seg = seg[len("file:"):]
+    with open(seg, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    rec = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS).decompress(member)
+    return _parse_record(rec, warc_type)
 
 
 def write_wet(df: DataFrame, out_dir: str, prefix: str = "wet") -> DataFrame:

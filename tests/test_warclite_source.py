@@ -103,3 +103,32 @@ def test_wet_export_roundtrip(spark, tmp_path):
     assert got == expect
     # a response-mode read of WET segments yields only NULL (countable)
     assert read_warc(spark, out).filter("url is not null").count() == 0
+
+
+def test_cdx_index_and_ranged_fetch(spark, tmp_path):
+    """CDX contract: the index's (segment, offset, length) fetches exactly
+    the right record with one ranged read — no segment scan."""
+    import random
+
+    from sanskrit_ocr_spark.sources.warclite import build_cdx, fetch_record
+
+    rows = _write_corpus(tmp_path, n=90, files=3)
+    cdx = build_cdx(spark, str(tmp_path)).toPandas()
+    assert len(cdx) == 90
+    assert cdx["url"].is_unique
+
+    expect = {r["url"]: (r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+              for _, r in rows.iterrows()}
+    random.seed(3)
+    for _, e in cdx.sample(12, random_state=3).iterrows():
+        url, ts, payload = fetch_record(e["segment"], int(e["offset"]),
+                                        int(e["length"]))
+        assert url == e["url"]
+        assert (ts, payload) == expect[url]
+    # offsets tile each segment: sorted spans are contiguous from 0
+    for seg, grp in cdx.groupby("segment"):
+        g = grp.sort_values("offset")
+        pos = 0
+        for _, e in g.iterrows():
+            assert e["offset"] == pos
+            pos += e["length"]
