@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--wet-dest",
                    help="also export OK-status extracted text as WET-style "
                         ".warc.gz conversion segments (one per partition)")
+    p.add_argument("--merge-prefilter-buckets", type=int, default=None,
+                   help="semi-join-reduce the committed side of the MERGE "
+                        "anti-join via a broadcast key-hash bucket set "
+                        "(the 10^12-row shuffle guard; size >> batch keys)")
     args = p.parse_args(argv)
 
     spark = build_spark(app="extract-job", master=args.master,
@@ -69,9 +73,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             pages = spark.read.parquet(args.input)
 
-        res = run_extraction(spark, pages, args.root,
-                             salt_partitions=args.salt_partitions,
-                             partitioned=args.partitioned)
+        res = run_extraction(
+            spark, pages, args.root,
+            salt_partitions=args.salt_partitions,
+            partitioned=args.partitioned,
+            merge_prefilter_buckets=args.merge_prefilter_buckets)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)

@@ -66,7 +66,8 @@ def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
 def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    salt_partitions: int | None = None,
                    committed_at: datetime | None = None,
-                   partitioned: bool = False) -> dict:
+                   partitioned: bool = False,
+                   merge_prefilter_buckets: int | None = None) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
@@ -88,7 +89,9 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     # the expensive parse never runs twice per page.
     extracted = extracted.cache()
     try:
-        sid, inserted = ext.merge_on_key(extracted, "url", order_col="warc_ts")
+        sid, inserted = ext.merge_on_key(
+            extracted, "url", order_col="warc_ts",
+            prefilter_buckets=merge_prefilter_buckets)
         ts = committed_at or datetime.now(timezone.utc)
         lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
         return {"snapshot_id": sid, "inserted": inserted}

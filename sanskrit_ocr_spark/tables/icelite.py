@@ -247,7 +247,8 @@ class IceliteTable:
         os.replace(tmp, self._head_path())
 
     def merge_on_key(self, df: DataFrame, key: str,
-                     order_col: str | None = None) -> tuple[int, int]:
+                     order_col: str | None = None,
+                     prefilter_buckets: int | None = None) -> tuple[int, int]:
         """``MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED THEN
         INSERT`` — the idempotent-resume checkpoint (north_rule; SURVEY.md J3).
 
@@ -259,6 +260,20 @@ class IceliteTable:
         The inserted-row count comes from an ``Observation`` on the write
         job itself — ONE job per merge, not a count() pass followed by a
         recomputation of the anti-join for the write.
+
+        ``prefilter_buckets``: the 10^12-row shuffle guard. The anti-join
+        must scan+shuffle the COMMITTED key column every incremental merge;
+        Spark's runtime bloom-filter injection does not cover LEFT ANTI
+        joins (verified on 4.x plans), so this broadcasts the batch's
+        distinct ``pmod(xxhash64(key), buckets)`` set and semi-join-filters
+        the committed side map-side before the shuffle. The filter keeps a
+        SUPERSET of true matches (hash-bucket false positives only), so
+        the anti-join result is exact; surviving committed rows shrink to
+        ~|batch_buckets|/buckets of the table. Size ``buckets`` ≫ the
+        batch's distinct-key count (e.g. 1<<27 for 10^6-row batches ≈ 8 MB
+        broadcast, ~100× shuffle reduction). Off by default: below ~10 GB
+        of committed keys the extra distinct pass costs more than the
+        shuffle it saves.
 
         Concurrency: on ``ConcurrentCommitError`` the merge retries from
         the NEW committed HEAD — the anti-join is re-derived against the
@@ -280,6 +295,12 @@ class IceliteTable:
         for _ in range(3):
             parent_total = self.row_count()
             existing = self.read().select(key)
+            if prefilter_buckets:
+                bucket = F.pmod(F.xxhash64(key), F.lit(prefilter_buckets))
+                batch_buckets = df.select(bucket.alias("__mb")).distinct()
+                existing = existing.join(
+                    F.broadcast(batch_buckets),
+                    bucket == F.col("__mb"), "left_semi")
             obs = Observation()
             fresh = (df.join(existing, key, "left_anti")
                      .observe(obs, F.count(F.lit(1)).alias("inserted")))

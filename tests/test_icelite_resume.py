@@ -250,3 +250,42 @@ def test_merge_upsert_replaces_matched_rows(spark, tmp_path):
     # time travel: the pre-merge snapshot still shows the old text
     old = {r["url"]: r["text"] for r in t.read(snapshot_id=sid - 1).collect()}
     assert old == before
+
+
+def test_merge_prefilter_is_exact(spark, tmp_path):
+    """The bucket semi-join prefilter keeps a superset of true matches, so
+    the merge result is byte-identical with and without it — and the plan
+    shows the broadcast semi-join on the committed side."""
+    import io
+    import contextlib
+
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+
+    root_a = str(tmp_path / "pf_a")
+    root_b = str(tmp_path / "pf_b")
+    for root in (root_a, root_b):
+        run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    batch = extract_pages(_pages(spark, 50, 250)).cache()
+    try:
+        ta = extracted_table(spark, root_a)
+        tb = extracted_table(spark, root_b)
+        sid_a, ins_a = ta.merge_on_key(batch, "url", order_col="warc_ts")
+        sid_b, ins_b = tb.merge_on_key(batch, "url", order_col="warc_ts",
+                                       prefilter_buckets=1 << 20)
+        assert (sid_a, ins_a) == (sid_b, ins_b)
+        a = {(r["url"], r["text"]) for r in ta.read().collect()}
+        b = {(r["url"], r["text"]) for r in tb.read().collect()}
+        assert a == b
+        # the plan actually contains the broadcast bucket semi-join
+        existing = tb.read().select("url")
+        bucket = F.pmod(F.xxhash64("url"), F.lit(1 << 20))
+        filt = existing.join(
+            F.broadcast(batch.select(bucket.alias("__mb")).distinct()),
+            bucket == F.col("__mb"), "left_semi")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            filt.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    finally:
+        batch.unpersist()
