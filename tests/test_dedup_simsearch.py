@@ -26,10 +26,26 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert len(caught) / len(high) >= 0.9
 
 
-def test_simhash_pairs_are_near_duplicates(spark):
+def test_simhash_pairs_are_near_duplicates(spark, tmp_path):
+    # sf0.001 may legitimately contain no hamming<=3 pairs, so the
+    # detection property is asserted on a PLANTED corpus instead of
+    # skipping: near-identical docs (one token changed out of 40) must be
+    # found, independent docs must not pair with them.
+    base = " ".join(f"token{i}" for i in range(80))
+    near = base.replace("token7 ", "tokenY ")  # 1/80 tokens differ
+    # (deterministic md5 simhashes: this exact pair lands at hamming 3)
+    rows = [(0, base), (1, near)] + [
+        (i, " ".join(f"w{i}_{j}" for j in range(80))) for i in range(2, 30)]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(path)
+    planted = {(r["a_id"], r["b_id"]): r["hamming"]
+               for r in dedup.dedup_simhash(spark, str(tmp_path)).collect()}
+    assert (0, 1) in planted and planted[(0, 1)] <= dedup.SIMHASH_MAX_HAMMING
+    assert all(p == (0, 1) for p in planted), "independent docs paired"
+
+    # and on the real corpus: any reported pair must be a true near-dup
     pairs = dedup.dedup_simhash(spark, SF).collect()
-    if not pairs:
-        pytest.skip("no simhash near-dups at this scale")
     exact = {(r["a_id"], r["b_id"]) for r in
              dedup.dedup_ngram_jaccard(spark, SF).collect()}
     in_subset = [(r["a_id"], r["b_id"]) for r in pairs
