@@ -288,43 +288,45 @@ def _scan_blocks(markup: str) -> list[_Block]:
             break
         if lt > pos:
             on_text(markup[pos:lt])
-        m = ss_match(markup, lt)
-        if m:  # simple start tag (provably equivalent to parse_starttag)
-            tag = m.group(1)
-            if not tag.islower():
-                tag = tag.lower()
-            pos = m.end()
-            if m.group(2):  # self-closing → handle_startendtag
-                if tag in blk_tags:
-                    flush(tag)
-            elif tag in ign_tags:
-                ignore_depth += 1
-                if tag in _CDATA_ELEMS:
-                    pos = skip_cdata(pos, tag)
-            elif tag == "a":
-                link_depth += 1
-            elif tag in blk_tags:
-                flush(tag)
-            continue
-        m = se_match(markup, lt)
-        if m:  # simple end tag
-            tag = m.group(1)
-            if not tag.islower():
-                tag = tag.lower()
-            pos = m.end()
-            if tag in ign_tags:
-                if ignore_depth:
-                    ignore_depth -= 1
-            elif tag == "a":
-                if link_depth:
-                    link_depth -= 1
-            elif tag in blk_tags:
-                flush(cur.tag)
-            continue
+        # dispatch on the char after '<' FIRST: a start-tag regex attempt
+        # at every '</...' (and vice versa) was ~half the match calls
         c = markup[lt + 1:lt + 2]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = ss_match(markup, lt)
+            if m:  # simple start tag (provably ≡ parse_starttag)
+                tag = m.group(1)
+                if not tag.islower():
+                    tag = tag.lower()
+                pos = m.end()
+                if m.group(2):  # self-closing → handle_startendtag
+                    if tag in blk_tags:
+                        flush(tag)
+                elif tag in ign_tags:
+                    ignore_depth += 1
+                    if tag in _CDATA_ELEMS:
+                        pos = skip_cdata(pos, tag)
+                elif tag == "a":
+                    link_depth += 1
+                elif tag in blk_tags:
+                    flush(tag)
+                continue
             pos = parse_starttag(lt)
         elif c == "/":
+            m = se_match(markup, lt)
+            if m:  # simple end tag
+                tag = m.group(1)
+                if not tag.islower():
+                    tag = tag.lower()
+                pos = m.end()
+                if tag in ign_tags:
+                    if ignore_depth:
+                        ignore_depth -= 1
+                elif tag == "a":
+                    if link_depth:
+                        link_depth -= 1
+                elif tag in blk_tags:
+                    flush(cur.tag)
+                continue
             pos = parse_endtag(lt)
         elif markup.startswith("<!--", lt):
             cm = _COMMENTCLOSE.search(markup, lt + 4)
