@@ -266,6 +266,43 @@ def ann_ivf_topk(spark, sf):
             .select("q_id", "vec_id", "cos"))
 
 
+# --- int8 scalar quantization (embedding storage/bandwidth path; oracle) -------
+
+def ann_quantize_int8(spark, sf):
+    """Per-vector symmetric int8 quantization: ``q_i = floor(x_i * 127 /
+    scale + 0.5)`` with ``scale = max|x_i|`` — the storage format that cuts
+    an embedding corpus 4× (float32→int8) before ANN indexing. Pure JVM
+    expressions, one narrow map, no shuffle.
+
+    Cross-engine parity notes: ``floor(x + 0.5)`` instead of ``round``
+    (Spark HALF_UP vs DuckDB's banker-adjacent behavior diverge on .5
+    ties); ``scale`` emitted as the RAW double (no rounding — max of
+    float32-exact values is identical on both engines); arrays emitted as
+    JSON so the driver's value-hash has a scalar column."""
+    emb = t(spark, sf, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12))
+    q = F.transform(
+        e, lambda x: F.floor(x * F.lit(127.0) / scale + F.lit(0.5))
+        .cast("int"))
+    return emb.select("vec_id", scale.alias("scale"),
+                      F.to_json(q).alias("q_json"))
+
+
+QUANT_SQL = """
+SELECT vec_id,
+       greatest(list_max(list_transform(embedding::DOUBLE[],
+                                        x -> abs(x))), 1e-12) AS scale,
+       to_json(list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * 127.0
+                    / greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                       y -> abs(y))), 1e-12)
+                    + 0.5) AS INTEGER))) AS q_json
+FROM embeddings
+"""
+
+
 # --- per-label centroids (IVF coarse-quantizer building block; oracle) ---------
 
 def ann_label_centroids(spark, sf):
@@ -297,12 +334,14 @@ QUERIES = {
     "ann_cosine_neardup": ann_cosine_neardup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_quantize_int8": ann_quantize_int8,
     "ann_label_centroids": ann_label_centroids,
 }
 
 ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_cosine_neardup": NEARDUP_SQL,
+    "ann_quantize_int8": QUANT_SQL,
     "ann_label_centroids": CENTROID_SQL,
     # ann_lsh_topk / ann_ivf_topk are approximate in RECALL but fully
     # deterministic in VALUE (seeded Gaussian hyperplanes, decimal-exact

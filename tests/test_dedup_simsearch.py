@@ -187,3 +187,41 @@ def test_simhash_vectorized_matches_scalar_definition():
         " limit 60").df()["text"].tolist()
     for t in samples + docs:
         assert dedup._simhash64(t) == scalar(t), t[:40]
+
+
+def test_int8_quantization_error_bound_and_neighbor_recall(spark):
+    """Symmetric int8 quantization: per-element dequantization error is
+    bounded by scale/254, and quantized cosine preserves the exact top-k
+    neighbors well (the property that makes int8 the ANN storage format)."""
+    import json
+
+    import numpy as np
+
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+    qrows = {r["vec_id"]: (r["scale"], json.loads(r["q_json"]))
+             for r in simsearch.ann_quantize_int8(spark, SF).collect()}
+    assert set(qrows) == set(raw)
+    deq = {}
+    for vid, (s, q) in qrows.items():
+        q = np.asarray(q, dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        d = q * s / 127.0
+        assert np.abs(d - raw[vid]).max() <= s / 254.0 + 1e-9
+        deq[vid] = d
+
+    def topk(vecs, qid, k=10):
+        qv = vecs[qid]
+        scores = {v: float(np.dot(vecs[v], qv)
+                           / (np.linalg.norm(vecs[v]) * np.linalg.norm(qv)))
+                  for v in vecs}
+        return {v for v, _ in sorted(scores.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:k]}
+
+    hits = total = 0
+    for qid in simsearch.QUERY_IDS:
+        exact = topk(raw, qid)
+        quant = topk(deq, qid)
+        hits += len(exact & quant)
+        total += len(exact)
+    assert hits / total >= 0.8  # int8 keeps the neighborhood structure
