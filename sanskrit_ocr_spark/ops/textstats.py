@@ -126,11 +126,68 @@ FROM documents
 """
 
 
+# --- repetition signals (Gopher/RefinedWeb-style repetition filters) ------------
+
+def ts_repetition(spark, sf):
+    """Per-document repetition signals from the published web-pipeline
+    quality rules (Gopher's "fraction of characters in the most common
+    n-gram", RefinedWeb's duplicate-token ratios): top word-bigram
+    fraction + distinct-token ratio. One explode + one (doc_id, bigram)
+    aggregation — the shuffle key carries ~one row per distinct bigram
+    per doc (map-side combined), so the op scales like the shingle ops."""
+    docs = (t(spark, sf, "documents")
+            .withColumn("toks", F.split(F.trim(F.col("text")), " +"))
+            .filter(F.size("toks") >= 2))
+    distinct_ratio = F.round(
+        F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 4)
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(toks)-1),"
+            " i -> concat(element_at(toks,i), ' ', element_at(toks,i+1)))"
+        )).alias("bg"))
+    top = (bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("max_bg"),
+                                  F.sum("c").alias("n_bg")))
+    return (docs.select("doc_id", distinct_ratio.alias("distinct_ratio"))
+            .join(top, "doc_id")
+            .select("doc_id", "distinct_ratio",
+                    F.round(F.col("max_bg").cast("double") / F.col("n_bg"), 4)
+                    .alias("top_bigram_frac")))
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+  FROM documents
+), docs AS (
+  SELECT doc_id,
+         round(len(list_distinct(toks))::DOUBLE / len(toks), 4)
+           AS distinct_ratio,
+         toks
+  FROM base WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM docs
+), cnt AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+), top AS (
+  SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id, d.distinct_ratio,
+       round(t.max_bg::DOUBLE / t.n_bg, 4) AS top_bigram_frac
+FROM docs d JOIN top t USING (doc_id)
+"""
+
+
 QUERIES = {
     "ts_lang_id": ts_lang_id,
     "ts_quality_score": ts_quality_score,
     "ts_token_count": ts_token_count,
     "ts_fingerprint": ts_fingerprint,
+    "ts_repetition": ts_repetition,
 }
 
 ORACLES = {
@@ -138,4 +195,5 @@ ORACLES = {
     "ts_quality_score": QUALITY_SQL,
     "ts_token_count": TOKEN_SQL,
     "ts_fingerprint": FP_SQL,
+    "ts_repetition": REPETITION_SQL,
 }
