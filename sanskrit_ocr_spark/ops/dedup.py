@@ -297,16 +297,76 @@ def dedup_simhash(spark, sf):
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
 
 
+# --- benchmark decontamination (eval-set n-gram overlap; oracle) ----------------
+
+CONTAM_K = 8  # shared-shingle width; GPT-3 used 13-grams, Llama 2 uses 8+
+
+
+def _word_shingles(words, k: int):
+    """k-word shingle array, empty when the doc is shorter than k (guard
+    matters: sequence(0, negative) would DESCEND in Spark)."""
+    return (F.when(F.size(words) >= k,
+                   F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                               lambda i: F.array_join(
+                                   F.slice(words, i + 1, k), " ")))
+            .otherwise(F.array().cast("array<string>")))
+
+
+def dedup_contamination(spark, sf):
+    """Benchmark decontamination (the published GPT-2/3/Llama methodology):
+    flag every training document that shares at least one ``CONTAM_K``-word
+    shingle with a held-out eval slice (here ``doc_id % 20 == 0`` stands in
+    for the benchmark suite). Emits one row per contaminated
+    (train doc, eval doc) pair with the distinct-shared-shingle count.
+
+    Scale shape: a real decontamination pass has a TINY eval side (a
+    benchmark suite) against a 100 TB train side — so the eval shingle set
+    is broadcast, the train side explodes shingles map-side, and the only
+    wide operation is the final per-pair aggregate whose key space is
+    bounded by actual contamination."""
+    docs = t(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    sh = docs.select("doc_id",
+                     F.explode(_word_shingles(words, CONTAM_K)).alias("g"))
+    ev = F.broadcast(sh.filter(F.col("doc_id") % 20 == 0)
+                     .select(F.col("doc_id").alias("eval_id"), "g")
+                     .distinct())
+    train = sh.filter(F.col("doc_id") % 20 != 0).distinct()
+    return (train.join(ev, "g")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+CONTAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i + {CONTAM_K - 1}], ' ') AS g
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {CONTAM_K - 1}, 0)))
+         AS t(i)
+), ev AS (
+  SELECT DISTINCT doc_id AS eval_id, g FROM sh WHERE doc_id % 20 = 0
+)
+SELECT s.doc_id, e.eval_id, count(*) AS n_shared
+FROM sh s JOIN ev e USING (g)
+WHERE s.doc_id % 20 <> 0
+GROUP BY s.doc_id, e.eval_id
+"""
+
+
 QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_contamination": dedup_contamination,
 }
 
 ORACLES = {
     "dedup_exact_hash": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
+    "dedup_contamination": CONTAM_SQL,
     # dedup_minhash_lsh / dedup_simhash are probabilistic in RECALL but
     # fully deterministic in VALUE (fixed xxhash64/md5 hash derivations over
     # fixed testdata), so their sf0.01 outputs are pinned as committed

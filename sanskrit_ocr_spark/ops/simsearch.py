@@ -266,6 +266,55 @@ def ann_ivf_topk(spark, sf):
             .select("q_id", "vec_id", "cos"))
 
 
+# --- SemDeDup-style semantic dedup (per-cluster cosine prune; oracle) ----------
+
+SEMDEDUP_COS = 0.30
+
+
+def ann_semantic_dedup(spark, sf):
+    """Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): pairwise cosine comparisons happen only WITHIN a
+    cluster (here ``label`` — the same coarse-cell seeding as the IVF
+    build), and of each near-duplicate pair the lower ``vec_id`` survives
+    (deterministic keep-first, the D1 rule applied to vectors). Returns
+    the surviving (label, vec_id) set.
+
+    Scale shape: the O(c²) pairwise work is confined per cell — SemDeDup's
+    premise is that k is chosen so cells stay small — the self-join
+    shuffles on the cell key only, and survivors come from one left-anti
+    join against the (distinct) pruned set. Threshold 0.30 is calibrated
+    to the synthetic embeddings (~1% of within-label pairs, every label
+    represented) so the oracle is non-vacuous."""
+    emb = t(spark, sf, "embeddings")
+    a = emb.select(F.col("label").alias("l"), F.col("vec_id").alias("a_id"),
+                   F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("label").alias("l"), F.col("vec_id").alias("b_id"),
+                   F.col("embedding").cast("array<double>").alias("eb"))
+    pruned = (a.join(b, "l")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .filter(F.round(_cosine(F.col("ea"), F.col("eb")), 4)
+                      >= SEMDEDUP_COS)
+              .select(F.col("l").alias("label"), F.col("b_id").alias("vec_id"))
+              .distinct())
+    return (emb.select("label", "vec_id")
+            .join(pruned, ["label", "vec_id"], "left_anti"))
+
+
+SEMDEDUP_SQL = f"""
+SELECT e.label, e.vec_id
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings u
+  WHERE u.label = e.label AND u.vec_id < e.vec_id
+    AND round(list_dot_product(u.embedding::DOUBLE[], e.embedding::DOUBLE[])
+              / (sqrt(list_dot_product(u.embedding::DOUBLE[],
+                                       u.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]))),
+              4) >= {SEMDEDUP_COS})
+"""
+
+
 # --- int8 scalar quantization (embedding storage/bandwidth path; oracle) -------
 
 def ann_quantize_int8(spark, sf):
@@ -335,6 +384,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_quantize_int8": ann_quantize_int8,
+    "ann_semantic_dedup": ann_semantic_dedup,
     "ann_label_centroids": ann_label_centroids,
 }
 
@@ -342,6 +392,7 @@ ORACLES = {
     "ann_cosine_topk": TOPK_SQL,
     "ann_cosine_neardup": NEARDUP_SQL,
     "ann_quantize_int8": QUANT_SQL,
+    "ann_semantic_dedup": SEMDEDUP_SQL,
     "ann_label_centroids": CENTROID_SQL,
     # ann_lsh_topk / ann_ivf_topk are approximate in RECALL but fully
     # deterministic in VALUE (seeded Gaussian hyperplanes, decimal-exact

@@ -182,12 +182,173 @@ FROM docs d JOIN top t USING (doc_id)
 """
 
 
+# --- PII scrub (email/phone redaction — standard pre-training scrub) ------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def ts_pii_scrub(spark, sf):
+    """PII redaction (the standard web-corpus scrub before training): mask
+    email addresses and phone-like sequences, count the redactions. The
+    synthetic corpus is bag-of-words text, so contact strings are PLANTED
+    deterministically from (doc_id, source) — by the same formula on the
+    Spark and DuckDB sides — while the scrub itself (regex + counts) is
+    computed independently by each engine. All JVM built-ins
+    (regexp_replace / regexp_count), a pure narrow map: no shuffle, scales
+    as a scan."""
+    docs = t(spark, sf, "documents")
+    d = F.col("doc_id")
+    contact = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" contact "), F.col("source"), F.lit(".team"),
+                 (d % 7).cast("string"), F.lit("@crawl"),
+                 (d % 3).cast("string"), F.lit(".example.org"))
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" call 415-"),
+                 F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+                 F.lpad(((d * 31) % 10000).cast("string"), 4, "0"))
+    ).otherwise(F.lit(""))
+    raw = F.concat(F.col("text"), contact, phone)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).cast("long").alias("n_phones"))
+
+
+PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact ' || source || '.team'
+                      || (doc_id % 7)::VARCHAR || '@crawl'
+                      || (doc_id % 3)::VARCHAR || '.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 415-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad(((doc_id * 31) % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(raw,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(raw, '\\d{3}-\\d{3}-\\d{4}'))::BIGINT AS n_phones
+FROM planted
+"""
+
+
+# --- URL canonicalization (crawl dedup-key normalization) ------------------------
+
+def ts_url_canonicalize(spark, sf):
+    """Crawl-URL canonicalization — the normalization every web pipeline
+    applies before using ``url`` as the dedup/checkpoint key (our
+    north-rule key): lowercase scheme+authority, strip the default port,
+    drop the fragment, strip ``www.``, remove tracking parameters
+    (``utm_*``/``fbclid``/``gclid``), tidy dangling separators, and emit
+    the registrable domain. Noisy URLs are PLANTED deterministically from
+    (doc_id, source) by the same formula on both engines; the
+    canonicalization is computed independently by each. Pure narrow map,
+    JVM regex only."""
+    docs = t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit("-news.Example.COM"),
+        F.when(d % 4 == 0, F.lit(":443"))
+         .when(d % 4 == 1, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Articles/"), d.cast("string"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&id="),
+                        (d % 97).cast("string"), F.lit("&utm_campaign=x")))
+         .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 97).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")))
+    out = (docs.select("doc_id", url.alias("url"))
+           .withColumn("u", F.regexp_replace("url", "#.*$", ""))
+           .withColumn("pfx", F.regexp_extract("u", "^[^/]*//[^/]*", 0))
+           .withColumn("u", F.concat(F.lower("pfx"),
+                                     F.expr("substring(u, length(pfx)+1)")))
+           .withColumn("u", F.regexp_replace(
+               "u", r"^(https://[^/:]+):443(/|$)", r"$1$2"))
+           .withColumn("u", F.regexp_replace(
+               "u", r"^(http://[^/:]+):80(/|$)", r"$1$2"))
+           .withColumn("u", F.regexp_replace(
+               "u", r"^(https?://)www\.", r"$1"))
+           .withColumn("u", F.regexp_replace(
+               "u", r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""))
+           .withColumn("u", F.regexp_replace("u", r"[?&]$", "")))
+    return out.select(
+        "doc_id", "url", F.col("u").alias("canon"),
+        F.regexp_extract("u", r"^https?://([^/:]+)", 1).alias("domain"))
+
+
+URL_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+         || source || '-news.Example.COM'
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                  WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END)
+         || '/Articles/' || doc_id::VARCHAR
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&id=' || (doc_id % 97)::VARCHAR
+                       || '&utm_campaign=x'
+                  WHEN doc_id % 3 = 1
+                  THEN '?id=' || (doc_id % 97)::VARCHAR
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM planted
+), s2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^[^/]*//[^/]*'))
+           || substring(u, length(regexp_extract(u, '^[^/]*//[^/]*')) + 1)
+           AS u
+  FROM s1
+), s3 AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(u, '^(https://[^/:]+):443(/|$)', '\\1\\2'),
+                 '^(http://[^/:]+):80(/|$)', '\\1\\2'),
+               '^(https?://)www\\.', '\\1'),
+             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+           '[?&]$', '') AS u
+  FROM s2
+)
+SELECT doc_id, url, u AS canon,
+       regexp_extract(u, '^https?://([^/:]+)', 1) AS domain
+FROM s3
+"""
+
+
 QUERIES = {
     "ts_lang_id": ts_lang_id,
     "ts_quality_score": ts_quality_score,
     "ts_token_count": ts_token_count,
     "ts_fingerprint": ts_fingerprint,
     "ts_repetition": ts_repetition,
+    "ts_pii_scrub": ts_pii_scrub,
+    "ts_url_canonicalize": ts_url_canonicalize,
 }
 
 ORACLES = {
@@ -196,4 +357,6 @@ ORACLES = {
     "ts_token_count": TOKEN_SQL,
     "ts_fingerprint": FP_SQL,
     "ts_repetition": REPETITION_SQL,
+    "ts_pii_scrub": PII_SQL,
+    "ts_url_canonicalize": URL_SQL,
 }
