@@ -297,6 +297,185 @@ def dedup_simhash(spark, sf):
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
 
 
+# --- duplicate-cluster connected components (oracle via recursive CTE) ---------
+
+CC_MAX_ITERS = 12  # propagation bound; dedup graphs are stars/near-cliques
+
+
+def _dup_edges(spark, sf) -> DataFrame:
+    """Deterministic duplicate-pair edge set: exact-content star edges
+    (every doc → the min doc_id of its md5 group) plus the exact n-gram
+    Jaccard near-dup pairs over the bounded oracle subset."""
+    docs = t(spark, sf, "documents")
+    hashed = docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("a_id"))
+    exact = (hashed.join(keepers, "h")
+             .filter(F.col("doc_id") != F.col("a_id"))
+             .select("a_id", F.col("doc_id").alias("b_id")))
+    near = dedup_ngram_jaccard(spark, sf).select("a_id", "b_id")
+    return exact.union(near).distinct()
+
+
+def dedup_cluster_cc(spark, sf):
+    """Duplicate-cluster assignment — the step every production MinHash
+    dedup needs AFTER pair generation: connected components over the
+    duplicate-pair graph, labeling each document with the minimum doc_id
+    of its cluster (so "keep one per cluster" is ``doc_id == component``).
+
+    Spark shape: iterative min-label propagation — each round every vertex
+    takes the min of its own label and its neighbors' labels; labels only
+    decrease, so the per-round ``sum(lbl)`` action is a monotone
+    convergence check (bounded driver action, one scalar per round). The
+    loop is bounded by the component diameter: dedup graphs are stars
+    (exact-hash groups) and near-cliques (LSH clusters), diameter ≲ 3, and
+    ``CC_MAX_ITERS`` caps pathological chains. At 10^12 docs the same loop
+    runs with the edge list bucketed by src — or upgrades to the
+    alternating large-star/small-star variant (Kiveris et al. 2014,
+    "Connected Components in MapReduce") for O(log n) rounds; the
+    propagation join itself is the same shuffle either way."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    e0 = _dup_edges(spark, sf)
+    und = (e0.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+           .union(e0.select(F.col("b_id").alias("src"),
+                            F.col("a_id").alias("dst")))
+           .persist())
+    _SHINGLE_CACHE.append(und)
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        labels = labels.persist()
+        _SHINGLE_CACHE.append(labels)
+        total = labels.agg(F.sum("lbl")).collect()[0][0]
+        if total == prev:
+            break
+        prev = total
+        msgs = (und.join(labels.withColumnRenamed("doc_id", "src"), "src")
+                .select(F.col("dst").alias("doc_id"), "lbl"))
+        labels = (labels.union(msgs)
+                  .groupBy("doc_id").agg(F.min("lbl").alias("lbl")))
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "lbl")
+            .select("doc_id", F.col("lbl").alias("component"), "cluster_size"))
+
+
+# The oracle computes the same components independently via a recursive CTE:
+# labels propagate along edges (pruned to lbl < target — the component min
+# reaches every member through monotone-decreasing paths), then min per node.
+CC_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk
+  FROM documents WHERE doc_id < {NGRAM_SUBSET}
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(tk) - 1),
+           i -> tk[i] || ' ' || tk[i + 1]))) AS sh
+  FROM toks WHERE len(tk) >= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), near AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id
+             JOIN sizes sb ON sb.doc_id = b_id
+  WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4)
+        >= {JACCARD_THRESHOLD}
+), hashes AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), keep AS (
+  SELECT h, min(doc_id) AS a_id FROM hashes GROUP BY h
+), exact AS (
+  SELECT k.a_id, x.doc_id AS b_id
+  FROM hashes x JOIN keep k USING (h) WHERE x.doc_id <> k.a_id
+), e0 AS (
+  SELECT a_id, b_id FROM exact UNION SELECT a_id, b_id FROM near
+), e AS (
+  SELECT a_id AS src, b_id AS dst FROM e0
+  UNION SELECT b_id, a_id FROM e0
+), reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id WHERE r.lbl < e.dst
+), comp AS (
+  SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+
+# --- paragraph-level exact dedup (C4/MassiveText sub-document dedup) ------------
+
+PARA_WORDS = 10  # fixed-width word chunks stand in for paragraph breaks
+
+
+def dedup_paragraphs(spark, sf):
+    """Paragraph-level keep-first dedup (the C4 rule applied at
+    sub-document granularity, as in MassiveText): split each document into
+    ``PARA_WORDS``-word chunks, keep only the globally FIRST occurrence of
+    each distinct chunk (first = min (doc_id, pos)), and reconstruct the
+    cleaned text from the surviving chunks in original order.
+
+    Scale shape: posexplode (narrow) → one shuffle on the paragraph hash
+    (the window key — first-occurrence via row_number, the D1 rule) → one
+    shuffle back on doc_id to reassemble. Both shuffle keys are hashes/ids,
+    no skew beyond genuine duplication; the paragraph strings travel the
+    first shuffle once. At 100 TB this is the standard two-shuffle
+    sub-document dedup — no driver state, no all-pairs anything."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size(toks) / {PARA_WORDS}.0) as int)"
+        f" - 1), i -> array_join(slice(toks, i * {PARA_WORDS} + 1,"
+        f" {PARA_WORDS}), ' '))")
+    ex = (docs.withColumn("toks", toks)
+          .select("doc_id", F.posexplode(paras).alias("pos", "para")))
+    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    flagged = (ex.withColumn("ph", F.md5(F.encode("para", "UTF-8")))
+               .withColumn("kept", F.row_number().over(w) == 1))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "kept", "para"))),
+                             lambda x: x["kept"]),
+                         lambda x: x["para"]),
+                     " ").alias("clean_text")))
+
+
+PARA_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tk, (i - 1) * {PARA_WORDS} + 1,
+                                    (i - 1) * {PARA_WORDS} + {PARA_WORDS}),
+                         ' ') AS para
+  FROM w, unnest(generate_series(1, cast(ceil(len(tk) / {PARA_WORDS}.0)
+                                         AS INT))) AS t(i)
+), fl AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) = 1 AS kept
+  FROM ex
+)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN para END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM fl GROUP BY doc_id
+"""
+
+
 # --- benchmark decontamination (eval-set n-gram overlap; oracle) ----------------
 
 CONTAM_K = 8  # shared-shingle width; GPT-3 used 13-grams, Llama 2 uses 8+
@@ -361,12 +540,16 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_contamination": dedup_contamination,
+    "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_paragraphs": dedup_paragraphs,
 }
 
 ORACLES = {
     "dedup_exact_hash": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_SQL,
     "dedup_contamination": CONTAM_SQL,
+    "dedup_cluster_cc": CC_SQL,
+    "dedup_paragraphs": PARA_SQL,
     # dedup_minhash_lsh / dedup_simhash are probabilistic in RECALL but
     # fully deterministic in VALUE (fixed xxhash64/md5 hash derivations over
     # fixed testdata), so their sf0.01 outputs are pinned as committed

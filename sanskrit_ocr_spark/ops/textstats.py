@@ -341,6 +341,100 @@ FROM s3
 """
 
 
+# --- training-sequence packing (token-budget chunking) ---------------------------
+
+# Token capacity per packed training sequence. 512 (not a production 2-8k)
+# so the per-source streams at driver-test scale (~1.3k tokens/source) span
+# several sequences — the boundary logic is actually exercised, not
+# vacuously seq_id=0 everywhere.
+SEQ_CAP = 512
+
+
+def ts_seq_pack(spark, sf):
+    """Training-sequence packing: concatenate documents per source in
+    doc_id order into a token stream and chunk it into ``SEQ_CAP``-token
+    sequences — each doc gets the sequence id where its first token lands
+    (the streaming-pack rule every trainer's data loader applies when
+    packing documents into fixed-length contexts). One window over
+    (source, doc_id): a single shuffle on source, no driver state. At
+    100 TB the partition key is (source, day-bucket) so no single window
+    partition exceeds executor memory — the cumsum is associative, so
+    bucketing only renumbers sequences, never splits one incorrectly."""
+    docs = t(spark, sf, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w),
+                                             F.lit(0).cast("long")))
+            .withColumn("seq_id", F.floor(F.col("offset") / F.lit(SEQ_CAP)))
+            .select("doc_id", "source", "n_tokens", "offset", "seq_id"))
+
+
+SEQ_PACK_SQL = f"""
+SELECT doc_id, source,
+       len(regexp_split_to_array(trim(text), ' +'))::BIGINT AS n_tokens,
+       coalesce(sum(len(regexp_split_to_array(trim(text), ' +')))
+                OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS offset,
+       floor(coalesce(sum(len(regexp_split_to_array(trim(text), ' +')))
+                      OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                      0) / {SEQ_CAP})::BIGINT AS seq_id
+FROM documents
+"""
+
+
+# --- source mixing weights (temperature-scaled sampling) -------------------------
+
+def ts_source_mix(spark, sf):
+    """Per-source sampling weights for corpus mixing — the α=0.5
+    temperature rule (w_s ∝ n_s^α, the multilingual-sampling smoothing
+    from the XLM/mBERT lineage) over per-source token counts. sqrt is
+    IEEE-exact on both engines; the weight denominator is summed as
+    DECIMAL so the total is order-independent (double summation order
+    differs between engines). One aggregation + a broadcast scalar —
+    scales as a scan."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    per = (docs.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(n_tok).alias("n_tokens")))
+    per = per.withColumn("s", F.sqrt(F.col("n_tokens"))
+                         .cast("decimal(30,15)"))
+    # denominator via a global window over the ALREADY-AGGREGATED frame
+    # (#sources rows) — one scan of documents total, not one per reference
+    tot = F.sum("s").over(Window.partitionBy())
+    return per.select("source", "n_docs", "n_tokens",
+                      F.round(F.col("s").cast("double")
+                              / tot.cast("double"), 6).alias("weight"))
+
+
+SOURCE_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), ' +')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(sqrt(n_tokens) AS DECIMAL(30,15)) AS s
+  FROM per
+), tot AS (
+  SELECT sum(s) AS tot FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(s::DOUBLE / tot::DOUBLE, 6) AS weight
+FROM s, tot
+"""
+
+
 QUERIES = {
     "ts_lang_id": ts_lang_id,
     "ts_quality_score": ts_quality_score,
@@ -349,6 +443,8 @@ QUERIES = {
     "ts_repetition": ts_repetition,
     "ts_pii_scrub": ts_pii_scrub,
     "ts_url_canonicalize": ts_url_canonicalize,
+    "ts_seq_pack": ts_seq_pack,
+    "ts_source_mix": ts_source_mix,
 }
 
 ORACLES = {
@@ -359,4 +455,6 @@ ORACLES = {
     "ts_repetition": REPETITION_SQL,
     "ts_pii_scrub": PII_SQL,
     "ts_url_canonicalize": URL_SQL,
+    "ts_seq_pack": SEQ_PACK_SQL,
+    "ts_source_mix": SOURCE_MIX_SQL,
 }

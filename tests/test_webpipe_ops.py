@@ -10,17 +10,29 @@ re-runs (oracle parity is covered by test_ops_oracle.py).
                              fragments, www, or uppercase authority.
 """
 
+import hashlib
 import re
 
 import numpy as np
 import pandas as pd
 
-from sanskrit_ocr_spark.ops.dedup import CONTAM_K, dedup_contamination
+from sanskrit_ocr_spark.ops.dedup import (
+    CONTAM_K,
+    JACCARD_THRESHOLD,
+    NGRAM_SUBSET,
+    PARA_WORDS,
+    dedup_cluster_cc,
+    dedup_contamination,
+    dedup_paragraphs,
+)
 from sanskrit_ocr_spark.ops.simsearch import SEMDEDUP_COS, ann_semantic_dedup
 from sanskrit_ocr_spark.ops.textstats import (
     EMAIL_RE,
     PHONE_RE,
+    SEQ_CAP,
     ts_pii_scrub,
+    ts_seq_pack,
+    ts_source_mix,
     ts_url_canonicalize,
 )
 
@@ -105,3 +117,125 @@ def test_url_canonicalize_output_is_canonical(spark):
     d0 = {r["doc_id"]: r for r in rows}
     assert d0[0]["canon"] == "https://src0-news.example.com/Articles/0?id=0"
     assert d0[0]["domain"] == "src0-news.example.com"
+
+
+def _union_find_components(n_ids, edges):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_cluster_cc_matches_union_find_replay(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    by_hash = {}
+    for _, r in docs.iterrows():
+        by_hash.setdefault(
+            hashlib.md5(r["text"].encode()).hexdigest(), []).append(
+            int(r["doc_id"]))
+    edges = [(min(ids), d) for ids in by_hash.values()
+             for d in ids if d != min(ids)]
+    sub = docs[docs.doc_id < NGRAM_SUBSET]
+    shingles = {}
+    for _, r in sub.iterrows():
+        ws = re.split(" +", r["text"].strip())
+        if len(ws) >= 2:
+            shingles[int(r["doc_id"])] = {
+                f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)}
+    ids = sorted(shingles)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(shingles[a] & shingles[b])
+            if inter:
+                j = round(inter / (len(shingles[a]) + len(shingles[b])
+                                   - inter), 4)
+                if j >= JACCARD_THRESHOLD:
+                    edges.append((a, b))
+    comp = _union_find_components(
+        [int(d) for d in docs["doc_id"]], edges)
+    got = {r["doc_id"]: (r["component"], r["cluster_size"])
+           for r in dedup_cluster_cc(spark, SF).collect()}
+    sizes = pd.Series(list(comp.values())).value_counts()
+    assert got == {d: (c, int(sizes[c])) for d, c in comp.items()}
+    assert any(s > 1 for _, s in got.values()), "non-vacuous"
+
+
+def test_cluster_cc_merges_transitive_chain(spark, tmp_path):
+    # doc 0 ~ doc 1 (near-dup, high bigram jaccard), doc 1 == doc 2
+    # (exact dup), doc 3 isolated: CC must produce {0,1,2} + {3} even
+    # though 0 and 2 share no direct edge.
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, near, near, "something else entirely here"],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": [len(base), len(near), len(near), 28],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            dedup_cluster_cc(spark, str(tmp_path)).collect()}
+    assert [rows[d]["component"] for d in range(4)] == [0, 0, 0, 3]
+    assert [rows[d]["cluster_size"] for d in range(4)] == [3, 3, 3, 1]
+
+
+def test_paragraph_dedup_python_replay(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    paras = []  # (doc_id, pos, para) in global keep-first order
+    for _, r in docs.sort_values("doc_id").iterrows():
+        ws = re.split(" +", r["text"].strip())
+        for pos in range(-(-len(ws) // PARA_WORDS)):
+            paras.append((int(r["doc_id"]), pos,
+                          " ".join(ws[pos * PARA_WORDS:
+                                      (pos + 1) * PARA_WORDS])))
+    seen, expected = set(), {}
+    for d, pos, p in sorted(paras):
+        n, k, txt = expected.get(d, (0, 0, []))
+        kept = p not in seen
+        seen.add(p)
+        expected[d] = (n + 1, k + kept, txt + ([p] if kept else []))
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+           for r in dedup_paragraphs(spark, SF).collect()}
+    assert got == {d: (n, k, " ".join(t))
+                   for d, (n, k, t) in expected.items()}
+    assert any(k < n for n, k, _ in got.values()), "non-vacuous"
+
+
+def test_seq_pack_cumsum_replay(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs["text"].map(
+        lambda s: len(re.split(" +", s.strip())))
+    docs = docs.sort_values(["source", "doc_id"])
+    docs["offset"] = (docs.groupby("source")["n_tokens"].cumsum()
+                      - docs["n_tokens"])
+    docs["seq_id"] = docs["offset"] // SEQ_CAP
+    got = {r["doc_id"]: (r["n_tokens"], r["offset"], r["seq_id"])
+           for r in ts_seq_pack(spark, SF).collect()}
+    for _, r in docs.iterrows():
+        assert got[r["doc_id"]] == (r["n_tokens"], r["offset"], r["seq_id"])
+    assert max(s for _, _, s in got.values()) >= 1, "multiple sequences"
+
+
+def test_source_mix_numpy_replay(spark):
+    rows = ts_source_mix(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs["text"].map(
+        lambda s: len(re.split(" +", s.strip())))
+    per = docs.groupby("source")["n_tokens"].sum()
+    s = np.sqrt(per.to_numpy(dtype=np.float64))
+    weights = dict(zip(per.index, np.round(s / s.sum(), 6)))
+    for r in rows:
+        assert abs(r["weight"] - weights[r["source"]]) < 2e-6
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    # smoothing: weights are flatter than raw proportions
+    raw = per / per.sum()
+    assert max(r["weight"] for r in rows) <= raw.max() + 1e-9
