@@ -80,12 +80,13 @@ class IceliteTable:
                  partition_cols: list[str] | None = None):
         self.spark = spark
         self.root = root
-        self.schema = schema
+        self.schema = schema  # creation-time schema (pre-evolution base)
         self.partition_cols = partition_cols or []
         # resolved cumulative file lists per snapshot (manifests are
         # immutable once committed except via expire_snapshots, which
         # clears this)
         self._files_cache: dict[int, list[str]] = {}
+        self._schema_cache: dict[int, StructType] = {}
         os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -133,6 +134,63 @@ class IceliteTable:
     def committed_files(self) -> list[str]:
         return self.files_at(self.snapshot_id())
 
+    # -- schema evolution -----------------------------------------------------
+    def schema_at(self, sid: int) -> StructType:
+        """Table schema in effect at snapshot ``sid`` (Iceberg's
+        per-snapshot schema tracking): the nearest ``schema`` entry walking
+        the parent chain, else the creation-time schema. Memoized."""
+        if not sid:
+            return self.schema
+        if sid in self._schema_cache:
+            return self._schema_cache[sid]
+        cur = sid
+        out = self.schema
+        while cur:
+            try:
+                m = self._manifest(cur)
+            except FileNotFoundError:
+                break  # expired history: schema changes are sealed forward
+            if "schema" in m:
+                out = StructType.fromJson(m["schema"])
+                break
+            cur = m["parent"]
+        self._schema_cache[sid] = out
+        return out
+
+    def current_schema(self) -> StructType:
+        return self.schema_at(self.snapshot_id())
+
+    def add_columns(self, fields: list[StructField]) -> int:
+        """Schema evolution, Iceberg-style: add nullable columns WITHOUT
+        rewriting any data file — a metadata-only commit carrying the new
+        schema. Existing files simply lack the columns; parquet reads under
+        the explicit evolved schema fill them with NULL (name-based column
+        resolution, the Iceberg contract). Time travel to pre-evolution
+        snapshots keeps the old schema. At 10^12 rows this is the ONLY
+        viable way to add a column — any rewrite is O(table).
+
+        New columns must be nullable (there is no data to backfill) and
+        must not collide with existing names or the partition spec."""
+        cur = self.current_schema()
+        names = {f.name for f in cur.fields}
+        for f in fields:
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            if not f.nullable:
+                raise ValueError(
+                    f"column {f.name!r} must be nullable: existing data "
+                    "files have no values for it")
+        evolved = StructType(list(cur.fields) + list(fields))
+        parent = self.snapshot_id()
+        sid = parent + 1
+        manifest = {"snapshot_id": sid, "parent": parent, "new_files": [],
+                    "schema": evolved.jsonValue(), "schema_evolved": True}
+        total = self.row_count()
+        if total is not None and parent:
+            manifest["total_rows"] = total  # data untouched
+        self._commit_manifest(sid, manifest)
+        return sid
+
     # -- read -----------------------------------------------------------------
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
@@ -144,13 +202,14 @@ class IceliteTable:
         parses as a synthetic partition column that is dropped after read
         (hive partition columns and their pruning are unaffected)."""
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        schema = self.schema_at(sid)
         files = self.files_at(sid)
         if not files:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         if not self.partition_cols:
-            return self.spark.read.schema(self.schema).parquet(*files)
+            return self.spark.read.schema(schema).parquet(*files)
         reader_schema = StructType(
-            list(self.schema.fields)
+            list(schema.fields)
             + [StructField("__commit", StringType(), True)])
         return (self.spark.read.schema(reader_schema)
                 .option("basePath", os.path.join(self.root, "data"))
@@ -425,7 +484,10 @@ class IceliteTable:
         m = self._manifest(oldest_keep)
         if "files" not in m and not m.get("full"):
             sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
-                      "new_files": self.files_at(oldest_keep), "full": True}
+                      "new_files": self.files_at(oldest_keep), "full": True,
+                      # seal the schema in effect here: the evolution commit
+                      # that introduced it may be among the expired parents
+                      "schema": self.schema_at(oldest_keep).jsonValue()}
             for k in ("inserted", "total_rows"):
                 if k in m:
                     sealed[k] = m[k]
@@ -452,6 +514,7 @@ class IceliteTable:
             os.remove(mpath)
             expired.append(sid)
         self._files_cache.clear()
+        self._schema_cache.clear()
         return expired
 
     def remove_orphans(self) -> list[str]:
