@@ -389,6 +389,51 @@ FROM documents
 """
 
 
+# --- deterministic train/val/test split (hash-bucketed holdout) ------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # [0,90) train, [90,95) val, [95,100) test
+
+
+def ts_hash_split(spark, sf):
+    """Deterministic content-hash train/val/test split — the holdout rule
+    a training pipeline needs to be REPRODUCIBLE across engines and runs:
+    bucket = polynomial rolling hash of the text mod ``SPLIT_BUCKETS``
+    (content-keyed, so re-crawls of the same document land in the same
+    split and near-duplicate leakage across splits is visible to the dedup
+    ops, unlike a random split). Pure narrow map, no shuffle, scales as a
+    scan. The rolling hash is the ts_fingerprint parity formula — the one
+    hash both engines compute bit-identically."""
+    docs = t(spark, sf, "documents")
+    rolling = F.expr(
+        f"aggregate(transform(split(text, ''), c -> ascii(c)), 0L,"
+        f" (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})")
+    bucket = F.pmod(rolling, F.lit(SPLIT_BUCKETS)).cast("long")
+    return (docs.select("doc_id", bucket.alias("bucket"))
+            .withColumn("split",
+                        F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
+                        .when(F.col("bucket") < SPLIT_TRAIN_LT + 5, "val")
+                        .otherwise("test")))
+
+
+HASH_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''),
+                                    c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})
+           % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_LT + 5} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 # --- source mixing weights (temperature-scaled sampling) -------------------------
 
 def ts_source_mix(spark, sf):
@@ -445,6 +490,7 @@ QUERIES = {
     "ts_url_canonicalize": ts_url_canonicalize,
     "ts_seq_pack": ts_seq_pack,
     "ts_source_mix": ts_source_mix,
+    "ts_hash_split": ts_hash_split,
 }
 
 ORACLES = {
@@ -457,4 +503,5 @@ ORACLES = {
     "ts_url_canonicalize": URL_SQL,
     "ts_seq_pack": SEQ_PACK_SQL,
     "ts_source_mix": SOURCE_MIX_SQL,
+    "ts_hash_split": HASH_SPLIT_SQL,
 }

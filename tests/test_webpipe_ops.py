@@ -239,3 +239,24 @@ def test_source_mix_numpy_replay(spark):
     # smoothing: weights are flatter than raw proportions
     raw = per / per.sum()
     assert max(r["weight"] for r in rows) <= raw.max() + 1e-9
+
+
+def test_hash_split_python_replay(spark):
+    from sanskrit_ocr_spark.ops.textstats import (
+        FP_MOD, FP_MUL, SPLIT_BUCKETS, SPLIT_TRAIN_LT, ts_hash_split)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = {r["doc_id"]: r for r in ts_hash_split(spark, SF).collect()}
+    for _, d in docs.iterrows():
+        acc = 0
+        for ch in d["text"]:
+            acc = (acc * FP_MUL + ord(ch)) % FP_MOD
+        b = acc % SPLIT_BUCKETS
+        want = ("train" if b < SPLIT_TRAIN_LT
+                else "val" if b < SPLIT_TRAIN_LT + 5 else "test")
+        r = rows[d["doc_id"]]
+        assert (r["bucket"], r["split"]) == (b, want)
+    # content-keyed: exact duplicates always land in the same split
+    by_text = docs.groupby("text")["doc_id"].agg(list)
+    for ids in by_text:
+        assert len({rows[i]["split"] for i in ids}) == 1
+    assert {r["split"] for r in rows.values()} == {"train", "val", "test"}
