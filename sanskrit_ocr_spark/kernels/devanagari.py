@@ -214,5 +214,10 @@ def devanagari_post(text: str) -> tuple[str, list[tuple[int, int]], int]:
     """
     t = unicodedata.normalize("NFC", text)
     t = t.replace("\n", " ")
-    t = filter_devanagari(t)
+    # Re-normalize AFTER the filter: stripping a non-Devanagari char can
+    # make a base letter newly adjacent to a combining mark (e.g. र 0 ़ →
+    # र ़, which NFC composes to ऱ U+0931) — without this the output is
+    # not NFC and spans/graphemes differ on a second pass
+    # (hypothesis-found: test_post_idempotent, input 'र0़').
+    t = unicodedata.normalize("NFC", filter_devanagari(t))
     return t, sentence_spans(t), grapheme_count(t)
