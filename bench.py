@@ -63,6 +63,7 @@ def main() -> int:
         "q3_top_revenue", "j_broadcast_dims", "w2_sessionize",
         "dedup_exact_hash", "dedup_minhash_lsh", "ann_cosine_topk",
         "ts_fingerprint", "mm_feature_extract",
+        "dedup_paragraphs", "ann_semantic_dedup", "ts_hash_split",
     ]
 
     timings: dict[str, float] = {}
