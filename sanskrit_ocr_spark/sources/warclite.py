@@ -128,6 +128,14 @@ def read_warc(spark: SparkSession, path: str,
              .option("pathGlobFilter", "*.warc.gz")
              .load(path)
              .select("content"))
+    return _records_df(files, warc_type)
+
+
+def _records_df(files: DataFrame, warc_type: str) -> DataFrame:
+    """``(content binary)`` file rows → exploded WARC records. Shared by
+    the batch (``read_warc``) and streaming (``stream_warc``) sources —
+    the record-walking stage is a stateless projection, so batch/stream
+    parity is free."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,6 +154,26 @@ def read_warc(spark: SparkSession, path: str,
 
     return files.mapInPandas(
         body, schema="url string, warc_ts timestamp, html binary")
+
+
+def stream_warc(spark: SparkSession, path: str,
+                warc_type: str = "response",
+                max_files_per_trigger: int = 16) -> DataFrame:
+    """Streaming WARC source: ``readStream`` over a landing directory of
+    ``*.warc.gz`` segments (the continuous Common-Crawl dump-ingestion
+    scenario) with ``maxFilesPerTrigger`` back-pressure. Same record
+    schema and parse behavior as ``read_warc``; each newly-landed segment
+    is read exactly once per the file source's offset tracking."""
+    files = (spark.readStream.format("binaryFile")
+             # the binaryFile source's fixed schema, stated explicitly —
+             # streaming sources refuse schema inference
+             .schema("path string, modificationTime timestamp,"
+                     " length long, content binary")
+             .option("pathGlobFilter", "*.warc.gz")
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .load(path)
+             .select("content"))
+    return _records_df(files, warc_type)
 
 
 def build_cdx(spark: SparkSession, path: str,

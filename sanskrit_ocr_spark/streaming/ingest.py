@@ -41,19 +41,48 @@ def start_ingest(spark: SparkSession, pages_dir: str, root: str,
     ``available_now=True`` drains everything currently in ``pages_dir`` and
     stops (used by tests and backfills); otherwise runs continuously.
     """
-    ext = extracted_table(spark, root)
-    lin = lineage_table(spark, root)
-
     stream = (spark.readStream
               .schema(PAGES_INPUT_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(pages_dir))
+    return _start_extract_stream(spark, stream, root, checkpoint_dir,
+                                 available_now)
 
-    extracted = extract_pages(stream)
+
+def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
+                      checkpoint_dir: str, max_files_per_trigger: int = 16,
+                      available_now: bool = False):
+    """Streaming extraction straight off a WARC segment landing directory
+    — the end-to-end continuous Common-Crawl shape: ``stream_warc``
+    (binaryFile source + member-walking records stage) → the SAME
+    ``extract_pages`` stage and MERGE-on-url committer as the batch CLI's
+    ``--input-warc`` path. Unparseable records (``url IS NULL``) are
+    dropped exactly as the batch path drops them."""
+    from pyspark.sql import functions as F
+
+    from sanskrit_ocr_spark.sources.warclite import stream_warc
+
+    records = (stream_warc(spark, warc_dir,
+                           max_files_per_trigger=max_files_per_trigger)
+               .filter(F.col("url").isNotNull()))
+    return _start_extract_stream(spark, records, root, checkpoint_dir,
+                                 available_now)
+
+
+def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
+                          checkpoint_dir: str, available_now: bool):
+    ext = extracted_table(spark, root)
+    lin = lineage_table(spark, root)
+
+    extracted = extract_pages(pages_stream)
 
     def commit_batch(batch_df, batch_id: int) -> None:
         # foreachBatch hands us a normal DataFrame: reuse the batch path.
-        batch_df = batch_df.cache()
+        # DISK_ONLY for the same reason as extract/job.py — the nested
+        # sentences column makes the columnar cache build GC-heavy.
+        from pyspark import StorageLevel
+
+        batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
         try:
             sid, inserted = ext.merge_on_key(batch_df, "url",
                                              order_col="warc_ts")

@@ -55,3 +55,69 @@ def test_stream_ingest_incremental_no_duplicates(spark, tmp_path):
     t = extracted_table(spark, root).read()
     assert t.count() > n1
     assert t.select("url").distinct().count() == t.count()
+
+
+def _write_warc_segments(tmp_path, sub, lo, hi, files=2):
+    from sanskrit_ocr_spark.datagen.pages import pages_pandas
+    from sanskrit_ocr_spark.sources.warclite import write_warc
+
+    d = tmp_path / sub
+    d.mkdir(exist_ok=True)
+    rows = pages_pandas(lo, hi - lo)
+    per = (len(rows) + files - 1) // files
+    for i in range(files):
+        chunk = rows.iloc[i * per:(i + 1) * per]
+        write_warc(
+            str(d / f"seg-{lo:05d}-{i:05d}.warc.gz"),
+            [(r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+             for _, r in chunk.iterrows()])
+    return str(d)
+
+
+def test_warc_stream_ingest_matches_batch(spark, tmp_path):
+    from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+
+    warc_dir = _write_warc_segments(tmp_path, "warc", 0, 120)
+    root = str(tmp_path / "wstream_out")
+    ckpt = str(tmp_path / "wckpt")
+    q = start_warc_ingest(spark, warc_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    from datetime import datetime
+
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+    batch_root = str(tmp_path / "wbatch_out")
+    pages = spark.createDataFrame(pages_pandas(0, 120), schema=PAGES_SCHEMA)
+    run_extraction(spark, pages, batch_root, committed_at=datetime(2025, 7, 4))
+
+    a = extracted_table(spark, root).read()
+    b = extracted_table(spark, batch_root).read()
+    assert a.count() == b.count()
+    joined = (a.select("url", F.col("text").alias("ta"),
+                       F.col("status").alias("sa"))
+              .join(b.select("url", F.col("text").alias("tb"),
+                             F.col("status").alias("sb")), "url"))
+    assert joined.count() == a.count()
+    assert joined.filter((F.col("ta") != F.col("tb"))
+                         | (F.col("sa") != F.col("sb"))).count() == 0
+
+
+def test_warc_stream_ingest_incremental(spark, tmp_path):
+    from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+
+    warc_dir = _write_warc_segments(tmp_path, "warc2", 0, 100)
+    root = str(tmp_path / "wout2")
+    ckpt = str(tmp_path / "wckpt2")
+    q = start_warc_ingest(spark, warc_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = extracted_table(spark, root).read().count()
+    assert n1 > 0
+
+    # late segments land (NEW file names, urls 50-199 overlapping 50-99)
+    # → checkpoint skips the old files, MERGE dedups the overlap
+    _write_warc_segments(tmp_path, "warc2", 50, 200)
+    q = start_warc_ingest(spark, warc_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+    t = extracted_table(spark, root).read()
+    assert t.count() > n1
+    assert t.select("url").distinct().count() == t.count()
