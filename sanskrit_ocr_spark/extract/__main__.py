@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--input", help="existing pages parquet path")
     src.add_argument("--input-warc",
                      help="directory of *.warc.gz segment files to ingest")
+    src.add_argument("--stream-warc",
+                     help="WARC landing directory: drain it via Structured "
+                          "Streaming (availableNow) through the same "
+                          "extract + MERGE path, tracking progress in "
+                          "--checkpoint; re-runs pick up only new segments")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir for --stream-warc "
+                        "(default: ROOT/_checkpoint)")
     p.add_argument("--root", required=True,
                    help="output table root (extracted/ + lineage/)")
     p.add_argument("--master", default="local[*]")
@@ -61,23 +69,34 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)
     try:
-        if args.rows is not None:
-            if args.rows <= 0:
-                p.error("--rows must be positive")
-            pages = pages_df(spark, args.rows)
-        elif args.input_warc:
-            from sanskrit_ocr_spark.sources.warclite import read_warc
-            # drop unparseable members (counted as NULL urls by the reader)
-            pages = read_warc(spark, args.input_warc) \
-                .filter(F.col("url").isNotNull())
+        if args.stream_warc:
+            from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+            ext_t = extracted_table(spark, args.root)
+            before = ext_t.row_count() or 0
+            ckpt = args.checkpoint or f"{args.root}/_checkpoint"
+            q = start_warc_ingest(spark, args.stream_warc, args.root, ckpt,
+                                  available_now=True)
+            q.awaitTermination()
+            res = {"snapshot_id": ext_t.snapshot_id(),
+                   "inserted": (ext_t.row_count() or 0) - before}
         else:
-            pages = spark.read.parquet(args.input)
+            if args.rows is not None:
+                if args.rows <= 0:
+                    p.error("--rows must be positive")
+                pages = pages_df(spark, args.rows)
+            elif args.input_warc:
+                from sanskrit_ocr_spark.sources.warclite import read_warc
+                # drop unparseable members (counted NULL-url by the reader)
+                pages = read_warc(spark, args.input_warc) \
+                    .filter(F.col("url").isNotNull())
+            else:
+                pages = spark.read.parquet(args.input)
 
-        res = run_extraction(
-            spark, pages, args.root,
-            salt_partitions=args.salt_partitions,
-            partitioned=args.partitioned,
-            merge_prefilter_buckets=args.merge_prefilter_buckets)
+            res = run_extraction(
+                spark, pages, args.root,
+                salt_partitions=args.salt_partitions,
+                partitioned=args.partitioned,
+                merge_prefilter_buckets=args.merge_prefilter_buckets)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)
