@@ -60,13 +60,41 @@ def _emb_double(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
 # --- brute-force top-k (oracle) --------------------------------------------------
 
 def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k: K collected query vectors (bounded,
+    |QUERY_IDS| rows — the documented driver action) broadcast into a
+    ``mapInPandas`` whose body is one ``mat @ Q.T`` BLAS call per Arrow
+    batch — no shuffle until the tiny per-query top-k window. Replaced a
+    crossJoin + JVM higher-order-function cosine (boxed lambda per
+    element); ``ann_cosine_neardup`` below deliberately KEEPS the HOF
+    sequential-order formula as the engine-independent exact baseline the
+    pytest recall checks compare against."""
     emb = t(spark, sf, "embeddings")
-    base = _emb_double(emb, "vec_id", "e")
-    queries = F.broadcast(
-        _emb_double(emb.filter(F.col("vec_id").isin(*QUERY_IDS)), "q_id", "qe"))
-    scored = (base.crossJoin(queries)
-              .select("q_id", "vec_id",
-                      F.round(_cosine(F.col("e"), F.col("qe")), 4).alias("cos")))
+    qrows = (emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+             .select("vec_id", "embedding").collect())
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in qrows])
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    bq = spark.sparkContext.broadcast((q_ids, qmat, qnorm))
+
+    def score(batches):
+        ids, qm, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            cos = np.round((mat @ qm.T) / np.outer(norms, qn), 4)
+            n, k = cos.shape
+            yield pd.DataFrame({
+                "q_id": np.tile(ids, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "cos": cos.ravel(),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, vec_id long, cos double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                            F.col("vec_id").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
