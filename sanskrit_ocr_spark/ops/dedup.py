@@ -341,11 +341,16 @@ def dedup_cluster_cc(spark, sf):
            .persist())
     _SHINGLE_CACHE.append(und)
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
-    prev = None
+    prev, prev_frame = None, None
     for _ in range(CC_MAX_ITERS):
         labels = labels.persist()
-        _SHINGLE_CACHE.append(labels)
         total = labels.agg(F.sum("lbl")).collect()[0][0]
+        # the superseded round's cache is consumed once the new labels
+        # materialize — release it eagerly instead of letting a long
+        # driver session accumulate one small frame per round
+        if prev_frame is not None:
+            prev_frame.unpersist()
+        prev_frame = labels
         if total == prev:
             break
         prev = total
@@ -353,6 +358,7 @@ def dedup_cluster_cc(spark, sf):
                 .select(F.col("dst").alias("doc_id"), "lbl"))
         labels = (labels.union(msgs)
                   .groupBy("doc_id").agg(F.min("lbl").alias("lbl")))
+    _SHINGLE_CACHE.append(prev_frame)  # the converged frame backs the result
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (labels.join(sizes, "lbl")
             .select("doc_id", F.col("lbl").alias("component"), "cluster_size"))

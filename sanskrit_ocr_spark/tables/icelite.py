@@ -305,6 +305,34 @@ class IceliteTable:
             f.write(str(sid))
         os.replace(tmp, self._head_path())
 
+    def drop_columns(self, names: list[str]) -> int:
+        """Schema evolution, drop arm: remove columns by a metadata-only
+        commit — no data file is touched; the dropped column's values
+        simply stop being projected (reads use the explicit snapshot
+        schema, so extra columns in old files are ignored). Time travel to
+        pre-drop snapshots still sees the column. Partition columns cannot
+        be dropped (the physical layout embeds them)."""
+        cur = self.current_schema()
+        have = {f.name for f in cur.fields}
+        for n in names:
+            if n not in have:
+                raise ValueError(f"column {n!r} does not exist")
+            if n in self.partition_cols:
+                raise ValueError(f"column {n!r} is a partition column")
+        remaining = [f for f in cur.fields if f.name not in set(names)]
+        if not remaining:
+            raise ValueError("cannot drop every column")
+        parent = self.snapshot_id()
+        sid = parent + 1
+        manifest = {"snapshot_id": sid, "parent": parent, "new_files": [],
+                    "schema": StructType(remaining).jsonValue(),
+                    "schema_evolved": True}
+        total = self.row_count()
+        if total is not None and parent:
+            manifest["total_rows"] = total
+        self._commit_manifest(sid, manifest)
+        return sid
+
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None,
                      prefilter_buckets: int | None = None) -> tuple[int, int]:

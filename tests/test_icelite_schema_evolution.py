@@ -105,3 +105,23 @@ def test_partitioned_table_evolution_single_scan(spark, tmp_path):
     assert got == {"a": None, "b": None, "c": 0.9}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1  # still one scan post-evolution
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = IceliteTable(spark, str(tmp_path / "t"), SCHEMA_V1)
+    sid1 = t.append(_df(spark, [("a", 1), ("b", 2)]))
+    sid2 = t.drop_columns(["n"])
+    assert [f.name for f in t.current_schema().fields] == ["url"]
+    assert {r["url"] for r in t.read().collect()} == {"a", "b"}
+    assert "n" not in t.read().columns
+    # time travel: pre-drop snapshot still projects the column
+    assert {r["n"] for r in t.read(snapshot_id=sid1).collect()} == {1, 2}
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.drop_columns(["nope"])
+    with _pytest.raises(ValueError, match="every column"):
+        t.drop_columns(["url"])
+    # appends in the narrowed schema work; old files' extra column ignored
+    t.append(spark.createDataFrame([("c",)], schema=t.current_schema()))
+    assert {r["url"] for r in t.read().collect()} == {"a", "b", "c"}
