@@ -80,7 +80,11 @@ def _true_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
              .join(pairs, ["a_id", "b_id"], "left_semi")
              .groupBy("a_id", "b_id")
              .agg(F.count("*").alias("inter")))
-    sizes = _shingle_sizes(sh)
+    # sizes over the REDUCED set: sh_c holds every shingle of every doc
+    # that appears in a pair (the semi-join filters whole docs), so the
+    # counts are identical for every row the final joins keep — and the
+    # aggregation shrinks from |corpus shingles| to |candidate shingles|
+    sizes = _shingle_sizes(sh_c)
     return (inter
             .join(sizes.select(F.col("doc_id").alias("a_id"),
                                F.col("n_sh").alias("size_a")), "a_id")
