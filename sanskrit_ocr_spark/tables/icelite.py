@@ -454,7 +454,11 @@ class IceliteTable:
             manifest = {"snapshot_id": sid, "parent": parent,
                         "new_files": new_files, "full": True,
                         "merged_upsert": True,
-                        "total_rows": n_kept + n_src}
+                        "total_rows": n_kept + n_src,
+                        # full manifests terminate parent-chain walks once
+                        # expiry prunes below them — carry the schema so an
+                        # expired evolution commit can't revert the table
+                        "schema": self.schema_at(parent).jsonValue()}
             try:
                 self._commit_manifest(sid, manifest)
             except ConcurrentCommitError as e:
@@ -481,7 +485,9 @@ class IceliteTable:
         data_dir, files = self._stage_data(
             current.repartition(target_partitions), sid)
         manifest = {"snapshot_id": sid, "parent": parent,
-                    "new_files": files, "full": True, "compacted": True}
+                    "new_files": files, "full": True, "compacted": True,
+                    # see merge_upsert: full manifests must carry the schema
+                    "schema": self.schema_at(parent).jsonValue()}
         total = self.row_count()
         if total is not None and parent:
             manifest["total_rows"] = total  # row-preserving rewrite
@@ -510,13 +516,17 @@ class IceliteTable:
         for sid in range(oldest_keep, head + 1):
             keep_files.update(self.files_at(sid))
         m = self._manifest(oldest_keep)
-        if "files" not in m and not m.get("full"):
+        # seal when the manifest is a delta (needs the resolved file list)
+        # OR lacks a schema (an already-full legacy/compacted manifest whose
+        # schema still lives in an about-to-expire parent): either way the
+        # oldest retained manifest must be self-contained after expiry
+        if ("files" not in m and not m.get("full")) or "schema" not in m:
             sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
                       "new_files": self.files_at(oldest_keep), "full": True,
                       # seal the schema in effect here: the evolution commit
                       # that introduced it may be among the expired parents
                       "schema": self.schema_at(oldest_keep).jsonValue()}
-            for k in ("inserted", "total_rows"):
+            for k in ("inserted", "total_rows", "compacted", "merged_upsert"):
                 if k in m:
                     sealed[k] = m[k]
             fd, tmp = tempfile.mkstemp(

@@ -125,3 +125,23 @@ def test_drop_column_metadata_only(spark, tmp_path):
     # appends in the narrowed schema work; old files' extra column ignored
     t.append(spark.createDataFrame([("c",)], schema=t.current_schema()))
     assert {r["url"] for r in t.read().collect()} == {"a", "b", "c"}
+
+
+def test_expiry_after_compaction_keeps_evolved_schema(spark, tmp_path):
+    # append → evolve → compact → append → expire past the evolution
+    # commit: the compacted manifest is the oldest retained snapshot and
+    # must carry (or be sealed with) the evolved schema
+    t = IceliteTable(spark, str(tmp_path / "t"), SCHEMA_V1)
+    t.append(_df(spark, [("a", 1)]))
+    t.add_columns([QUALITY])
+    evolved = t.current_schema()
+    t.append(_df(spark, [("b", 2, 0.5)], evolved))
+    t.compact(target_partitions=2)
+    t.append(_df(spark, [("c", 3, 0.7)], evolved))
+    expired = t.expire_snapshots(keep_last=2)  # drops sids 1-3 incl. evolution
+    assert expired
+    t2 = IceliteTable(spark, str(tmp_path / "t"), SCHEMA_V1)
+    assert [f.name for f in t2.current_schema().fields] \
+        == [f.name for f in evolved.fields]
+    got = {r["url"]: r["quality"] for r in t2.read().collect()}
+    assert got == {"a": None, "b": 0.5, "c": 0.7}
