@@ -389,6 +389,131 @@ FROM documents
 """
 
 
+# --- canonical-url first-wins dedup (crawl dedup key in action) ------------------
+
+URL_DEDUP_PATHS = 150  # planted path collisions: ~3-4 docs share a page
+
+
+def dedup_url_canonical(spark, sf):
+    """First-wins dedup keyed on the CANONICAL url — the reason
+    ``ts_url_canonicalize`` exists: crawlers see the same page under
+    scheme-case/www/tracking-param/fragment variants, and the dedup key
+    must be the normalized form. Urls are planted with deliberate
+    path collisions (``doc_id % URL_DEDUP_PATHS``) wrapped in
+    per-doc_id noise; each engine canonicalizes independently, then
+    keeps the lowest doc_id per canonical url (the D1 rule; window
+    partitioned by the canon hash first for 8-byte shuffle comparisons).
+    Emits (canon, keeper, n_dups)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("crawl.Example.COM/p/"),
+        (d % URL_DEDUP_PATHS).cast("string"),
+        F.when(d % 3 == 1,
+               F.concat(F.lit("?utm_source=s"), (d % 7).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    canon = (docs.select("doc_id", url.alias("u"))
+             .withColumn("u", F.regexp_replace("u", "#.*$", ""))
+             .withColumn("u", F.regexp_replace(
+                 "u", r"\?utm_[a-z]+=[^&#]*$", ""))
+             .withColumn("pfx", F.regexp_extract("u", "^[^/]*//[^/]*", 0))
+             .withColumn("u", F.concat(
+                 F.lower("pfx"), F.expr("substring(u, length(pfx)+1)")))
+             .withColumn("canon", F.regexp_replace(
+                 "u", r"^(https?://)www\.", r"$1")))
+    w = Window.partitionBy(F.xxhash64("canon"), "canon") \
+              .orderBy(F.col("doc_id").asc())
+    return (canon
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_dups", F.count("*").over(
+                Window.partitionBy(F.xxhash64("canon"), "canon")))
+            .filter(F.col("rn") == 1)
+            .select("canon", F.col("doc_id").alias("keeper"),
+                    F.col("n_dups").cast("long").alias("n_dups")))
+
+
+URL_DEDUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'crawl.Example.COM/p/' || (doc_id % {URL_DEDUP_PATHS})::VARCHAR
+         || (CASE WHEN doc_id % 3 = 1
+                  THEN '?utm_source=s' || (doc_id % 7)::VARCHAR
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS u
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(u, '#.*$', ''),
+                        '\\?utm_[a-z]+=[^&#]*$', '') AS u
+  FROM planted
+), s2 AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(u, '^[^/]*//[^/]*'))
+             || substring(u, length(regexp_extract(u, '^[^/]*//[^/]*')) + 1),
+           '^(https?://)www\\.', '\\1') AS canon
+  FROM s1
+)
+SELECT canon, min(doc_id) AS keeper, count(*)::BIGINT AS n_dups
+FROM s2 GROUP BY canon
+"""
+
+
+# --- unigram LM quality score (CCNet-style perplexity-filter analog) -------------
+
+def ts_lm_score(spark, sf):
+    """Unigram language-model score per document — the exactly-computable
+    analog of CCNet's LM-perplexity quality filter: corpus unigram
+    probabilities (one aggregation over exploded tokens), joined back to
+    score each document by its mean token log-probability. Low scores =
+    rare-token-heavy documents (the tail CCNet's filter trims).
+
+    Scale shape: one explode → one groupBy(token) for the vocabulary
+    (map-side combined; vocabulary ≪ corpus), the scalar total via a
+    window over the tiny vocab frame, then a broadcast-friendly join of
+    tokens→logp and one groupBy(doc_id). ln() differs from DuckDB's by
+    ≤1 ulp; the per-doc mean rounds at 4 decimals, far above the noise."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = vocab.withColumn(
+        "logp", F.log(F.col("c") /
+                      F.sum("c").over(Window.partitionBy())))
+    return (toks.join(F.broadcast(vocab.select("tok", "logp")), "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg("logp"), 4).alias("avg_logp")))
+
+
+LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), scored AS (
+  SELECT tok, ln(c * 1.0 / (SELECT sum(c) FROM vocab)) AS logp FROM vocab
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(logp), 4) AS avg_logp
+FROM toks JOIN scored USING (tok)
+GROUP BY doc_id
+"""
+
+
 # --- deterministic train/val/test split (hash-bucketed holdout) ------------------
 
 SPLIT_BUCKETS = 100
@@ -491,6 +616,8 @@ QUERIES = {
     "ts_seq_pack": ts_seq_pack,
     "ts_source_mix": ts_source_mix,
     "ts_hash_split": ts_hash_split,
+    "dedup_url_canonical": dedup_url_canonical,
+    "ts_lm_score": ts_lm_score,
 }
 
 ORACLES = {
@@ -504,4 +631,6 @@ ORACLES = {
     "ts_seq_pack": SEQ_PACK_SQL,
     "ts_source_mix": SOURCE_MIX_SQL,
     "ts_hash_split": HASH_SPLIT_SQL,
+    "dedup_url_canonical": URL_DEDUP_SQL,
+    "ts_lm_score": LM_SCORE_SQL,
 }

@@ -260,3 +260,41 @@ def test_hash_split_python_replay(spark):
     for ids in by_text:
         assert len({rows[i]["split"] for i in ids}) == 1
     assert {r["split"] for r in rows.values()} == {"train", "val", "test"}
+
+
+def test_url_dedup_python_replay(spark):
+    from sanskrit_ocr_spark.ops.textstats import (
+        URL_DEDUP_PATHS, dedup_url_canonical)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    groups = {}
+    for d in sorted(int(x) for x in docs["doc_id"]):
+        canon = f"https://crawl.example.com/p/{d % URL_DEDUP_PATHS}"
+        groups.setdefault(canon, []).append(d)
+    got = {r["canon"]: (r["keeper"], r["n_dups"])
+           for r in dedup_url_canonical(spark, SF).collect()}
+    assert got == {c: (min(ids), len(ids)) for c, ids in groups.items()}
+    assert max(n for _, n in got.values()) > 1, "non-vacuous"
+
+
+def test_lm_score_python_replay(spark):
+    import math
+
+    from sanskrit_ocr_spark.ops.textstats import ts_lm_score
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    counts = {}
+    toks_by_doc = {}
+    for _, r in docs.iterrows():
+        ws = re.split(" +", r["text"].strip())
+        toks_by_doc[int(r["doc_id"])] = ws
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"])
+           for r in ts_lm_score(spark, SF).collect()}
+    for d, ws in toks_by_doc.items():
+        want = round(sum(math.log(counts[w] / total) for w in ws) / len(ws), 4)
+        n, avg = got[d]
+        assert n == len(ws)
+        assert abs(avg - want) <= 1e-4  # summation-order ulp at the boundary
+    # rare-token docs score lower than common-token docs
+    assert min(a for _, a in got.values()) < max(a for _, a in got.values())
