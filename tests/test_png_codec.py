@@ -167,3 +167,25 @@ def test_decode_externally_encoded_pngs():
         "3da05aab5eba05e1489618c6ff5db2ad"
     assert hashlib.md5(plus.tobytes()).hexdigest() == \
         "e733e2d69715323d82c1246516be8351"
+
+
+def test_roundtrip_property_random_images():
+    """Hypothesis: encode→decode is the identity for arbitrary pixel
+    content and geometry (gray + RGB), including dimensions that stress
+    filter heuristics and scanline boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.sampled_from([1, 3]),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, channels, seed):
+        rng = np.random.default_rng(seed)
+        pix = rng.integers(0, 256, size=h * w * channels,
+                           dtype=np.uint8).tobytes()
+        enc = encode_png(pix, w, h, channels=channels)
+        w2, h2, ch2, out = decode_png(enc)
+        assert (w2, h2, ch2) == (w, h, channels)
+        assert out == pix
+
+    check()
