@@ -605,6 +605,77 @@ FROM s, tot
 """
 
 
+# --- mixing-weight execution: deterministic stratified sample --------------------
+
+MIX_SAMPLE_FRACTION = 0.5  # sample half the corpus per the mixing weights
+
+
+def ts_mix_sample(spark, sf):
+    """Execute the ``ts_source_mix`` weights: draw a deterministic
+    stratified sample whose per-source composition follows the
+    temperature-scaled distribution. Per source, the take rate is
+    ``fraction × w_s × N / n_s`` (how CCNet/The Pile materialize a mixing
+    recipe into an actual corpus), and membership is decided by the
+    content rolling hash — reproducible across engines and runs, and
+    duplicates sample together. Both engines evaluate the IDENTICAL
+    double expression on identical rounded operands, so the floor'd
+    threshold compare is bit-exact. One aggregation + one broadcast join
+    + a narrow filter: scales as a scan."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    per = (docs.groupBy("source")
+           .agg(F.count("*").alias("n_docs"), F.sum(n_tok).alias("n_tok")))
+    per = per.withColumn("s", F.sqrt(F.col("n_tok")).cast("decimal(30,15)"))
+    w_tot = Window.partitionBy()
+    rates = per.select(
+        "source",
+        F.least(F.lit(1.0),
+                F.lit(MIX_SAMPLE_FRACTION)
+                * F.round(F.col("s").cast("double")
+                          / F.sum("s").over(w_tot).cast("double"), 6)
+                * F.sum("n_docs").over(w_tot).cast("double")
+                / F.col("n_docs").cast("double")).alias("rate"))
+    rolling = F.expr(
+        f"aggregate(transform(split(text, ''), c -> ascii(c)), 0L,"
+        f" (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})")
+    bucket = F.pmod(rolling, F.lit(1000000)).cast("long")
+    return (docs.select("doc_id", "source", bucket.alias("bucket"))
+            .join(F.broadcast(rates), "source")
+            .filter(F.col("bucket") < F.floor(F.col("rate") * 1000000))
+            .select("doc_id", "source", "bucket"))
+
+
+MIX_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(sqrt(sum(len(regexp_split_to_array(trim(text), ' +'))))
+              AS DECIMAL(30,15)) AS s
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(s) AS st, sum(n_docs) AS nd FROM per
+), rates AS (
+  SELECT source,
+         least(1.0, {MIX_SAMPLE_FRACTION}
+                    * round(s::DOUBLE / st::DOUBLE, 6)
+                    * nd::DOUBLE / n_docs::DOUBLE) AS rate
+  FROM per, tot
+), b AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''),
+                                    c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, b.source, bucket
+FROM b JOIN rates ON rates.source = b.source
+WHERE bucket < floor(rate * 1000000)
+"""
+
+
 QUERIES = {
     "ts_lang_id": ts_lang_id,
     "ts_quality_score": ts_quality_score,
@@ -618,6 +689,7 @@ QUERIES = {
     "ts_hash_split": ts_hash_split,
     "dedup_url_canonical": dedup_url_canonical,
     "ts_lm_score": ts_lm_score,
+    "ts_mix_sample": ts_mix_sample,
 }
 
 ORACLES = {
@@ -633,4 +705,5 @@ ORACLES = {
     "ts_hash_split": HASH_SPLIT_SQL,
     "dedup_url_canonical": URL_DEDUP_SQL,
     "ts_lm_score": LM_SCORE_SQL,
+    "ts_mix_sample": MIX_SAMPLE_SQL,
 }

@@ -298,3 +298,36 @@ def test_lm_score_python_replay(spark):
         assert abs(avg - want) <= 1e-4  # summation-order ulp at the boundary
     # rare-token docs score lower than common-token docs
     assert min(a for _, a in got.values()) < max(a for _, a in got.values())
+
+
+def test_mix_sample_python_replay(spark):
+    import math
+
+    from sanskrit_ocr_spark.ops.textstats import (
+        FP_MOD, FP_MUL, MIX_SAMPLE_FRACTION, ts_mix_sample)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tok"] = docs["text"].map(
+        lambda s: len(re.split(" +", s.strip())))
+    per = docs.groupby("source").agg(n_docs=("doc_id", "size"),
+                                     n_tok=("n_tok", "sum"))
+    # decimal(30,15) truncation replay: quantize sqrt to 15 decimals
+    from decimal import Decimal, ROUND_HALF_UP
+    s = per["n_tok"].map(lambda v: Decimal(repr(math.sqrt(v))).quantize(
+        Decimal("1e-15"), rounding=ROUND_HALF_UP))
+    st = float(sum(s))
+    nd = float(per["n_docs"].sum())
+    rates = {
+        src: min(1.0, MIX_SAMPLE_FRACTION * round(float(s[src]) / st, 6)
+                 * nd / per.loc[src, "n_docs"])
+        for src in per.index}
+    expected = set()
+    for _, r in docs.iterrows():
+        acc = 0
+        for ch in r["text"]:
+            acc = (acc * FP_MUL + ord(ch)) % FP_MOD
+        if acc % 1000000 < math.floor(rates[r["source"]] * 1000000):
+            expected.add(int(r["doc_id"]))
+    got = {r["doc_id"] for r in ts_mix_sample(spark, SF).collect()}
+    assert got == expected
+    # composition sanity: roughly the target fraction overall
+    assert 0.3 < len(got) / len(docs) < 0.7
