@@ -188,16 +188,9 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 
 
-def ts_pii_scrub(spark, sf):
-    """PII redaction (the standard web-corpus scrub before training): mask
-    email addresses and phone-like sequences, count the redactions. The
-    synthetic corpus is bag-of-words text, so contact strings are PLANTED
-    deterministically from (doc_id, source) — by the same formula on the
-    Spark and DuckDB sides — while the scrub itself (regex + counts) is
-    computed independently by each engine. All JVM built-ins
-    (regexp_replace / regexp_count), a pure narrow map: no shuffle, scales
-    as a scan."""
-    docs = t(spark, sf, "documents")
+def _pii_exprs():
+    """(raw, scrubbed) column expressions for the planted-contact corpus —
+    shared by ``ts_pii_scrub`` and the ``x5_web_curate`` composite."""
     d = F.col("doc_id")
     contact = F.when(
         d % 5 == 0,
@@ -214,6 +207,20 @@ def ts_pii_scrub(spark, sf):
     raw = F.concat(F.col("text"), contact, phone)
     scrubbed = F.regexp_replace(
         F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return raw, scrubbed
+
+
+def ts_pii_scrub(spark, sf):
+    """PII redaction (the standard web-corpus scrub before training): mask
+    email addresses and phone-like sequences, count the redactions. The
+    synthetic corpus is bag-of-words text, so contact strings are PLANTED
+    deterministically from (doc_id, source) — by the same formula on the
+    Spark and DuckDB sides — while the scrub itself (regex + counts) is
+    computed independently by each engine. All JVM built-ins
+    (regexp_replace / regexp_count), a pure narrow map: no shuffle, scales
+    as a scan."""
+    docs = t(spark, sf, "documents")
+    raw, scrubbed = _pii_exprs()
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
@@ -676,6 +683,125 @@ WHERE bucket < floor(rate * 1000000)
 """
 
 
+# --- x5: the full web-curation composite (scrub → gate → dedup → split) ----------
+
+CURATE_MIN_TOKENS = 30
+
+
+def x5_web_curate(spark, sf):
+    """The whole curation DAG in one driver-checked query — what a user of
+    this engine actually runs over a crawl: PII scrub → minimum-length
+    quality gate → paragraph-level keep-first dedup (on the scrubbed
+    text) → deterministic content-hash train/val/test split. Each stage
+    is the already-oracle-checked operator; the composite pins that they
+    COMPOSE correctly (the paragraph window sees post-gate rows only, the
+    split hashes the original content so scrubbing can't move a doc
+    across splits).
+
+    Plan shape: narrow scrub+gate fused into the scan, the paragraph
+    dedup's two shuffles, then the split as a narrow map on the
+    reassembled rows — no extra exchanges versus dedup_paragraphs
+    alone."""
+    from pyspark.sql import Window
+
+    from sanskrit_ocr_spark.ops.dedup import PARA_WORDS
+
+    docs = t(spark, sf, "documents")
+    _, scrubbed = _pii_exprs()
+    rolling = F.expr(
+        f"aggregate(transform(split(text, ''), c -> ascii(c)), 0L,"
+        f" (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})")
+    bucket = F.pmod(rolling, F.lit(SPLIT_BUCKETS)).cast("long")
+    gated = (docs
+             .withColumn("scrubbed", scrubbed)
+             .withColumn("toks", F.split(F.trim(F.col("scrubbed")), " +"))
+             .withColumn("split",
+                         F.when(bucket < SPLIT_TRAIN_LT, "train")
+                         .when(bucket < SPLIT_TRAIN_LT + 5, "val")
+                         .otherwise("test"))
+             .filter(F.size("toks") >= CURATE_MIN_TOKENS))
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size(toks) / {PARA_WORDS}.0) as"
+        f" int) - 1), i -> array_join(slice(toks, i * {PARA_WORDS} + 1,"
+        f" {PARA_WORDS}), ' '))")
+    ex = gated.select("doc_id", "split",
+                      F.posexplode(paras).alias("pos", "para"))
+    w = Window.partitionBy(F.md5(F.encode("para", "UTF-8"))) \
+              .orderBy("doc_id", "pos")
+    flagged = ex.withColumn("kept", F.row_number().over(w) == 1)
+    return (flagged.groupBy("doc_id", "split")
+            .agg(F.count("*").alias("n_paras"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(
+                             F.array_sort(F.collect_list(
+                                 F.struct("pos", "kept", "para"))),
+                             lambda x: x["kept"]),
+                         lambda x: x["para"]),
+                     " ").alias("clean_text")))
+
+
+X5_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, text,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact ' || source || '.team'
+                      || (doc_id % 7)::VARCHAR || '@crawl'
+                      || (doc_id % 3)::VARCHAR || '.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 415-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad(((doc_id * 31) % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS raw
+  FROM documents
+), scrub AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS scrubbed
+  FROM planted
+), gated AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(scrubbed), ' +') AS tk,
+         list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(text, ''),
+                                    c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})
+           % {SPLIT_BUCKETS} AS bucket
+  FROM scrub
+  WHERE len(regexp_split_to_array(trim(scrubbed), ' +'))
+        >= {CURATE_MIN_TOKENS}
+), ex AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_LT + 5} THEN 'val'
+              ELSE 'test' END AS split,
+         i - 1 AS pos,
+         array_to_string(list_slice(tk, (i - 1) * {{pw}} + 1,
+                                    (i - 1) * {{pw}} + {{pw}}), ' ') AS para
+  FROM gated, unnest(generate_series(1, cast(ceil(len(tk) / {{pw}}.0)
+                                             AS INT))) AS u(i)
+), fl AS (
+  SELECT doc_id, split, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) = 1 AS kept
+  FROM ex
+)
+SELECT doc_id, split, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN kept THEN para END, ' '
+                           ORDER BY pos), '') AS clean_text
+FROM fl GROUP BY doc_id, split
+"""
+
+
+def _x5_sql() -> str:
+    from sanskrit_ocr_spark.ops.dedup import PARA_WORDS
+    return X5_SQL.replace("{pw}", str(PARA_WORDS))
+
+
 QUERIES = {
     "ts_lang_id": ts_lang_id,
     "ts_quality_score": ts_quality_score,
@@ -690,6 +816,7 @@ QUERIES = {
     "dedup_url_canonical": dedup_url_canonical,
     "ts_lm_score": ts_lm_score,
     "ts_mix_sample": ts_mix_sample,
+    "x5_web_curate": x5_web_curate,
 }
 
 ORACLES = {
@@ -706,4 +833,5 @@ ORACLES = {
     "dedup_url_canonical": URL_DEDUP_SQL,
     "ts_lm_score": LM_SCORE_SQL,
     "ts_mix_sample": MIX_SAMPLE_SQL,
+    "x5_web_curate": _x5_sql(),
 }
