@@ -64,6 +64,7 @@ def main() -> int:
         "dedup_exact_hash", "dedup_minhash_lsh", "ann_cosine_topk",
         "ts_fingerprint", "mm_feature_extract",
         "dedup_paragraphs", "ann_semantic_dedup", "ts_hash_split",
+        "x5_web_curate",
     ]
 
     timings: dict[str, float] = {}
