@@ -218,11 +218,96 @@ def mm_frame_sample(spark, sf):
                           "pixel_md5")
 
 
+# --- perceptual-hash image near-dup detection (pHash + banded Hamming join) -----
+
+PHASH_GRID = 32        # resample size before the DCT
+PHASH_BLOCK = 8        # low-frequency block kept (8×8 → 64 bits)
+PHASH_MAX_HAMMING = 3
+PHASH_BANDS = 4        # 4×16-bit chunks: hamming ≤ 3 ⇒ ≥1 identical chunk
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (float64, deterministic)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_DCT32 = _dct_basis(PHASH_GRID)
+
+
+def phash64(png_bytes: bytes) -> int:
+    """64-bit perceptual hash of a PNG: decode → grayscale → 32×32
+    nearest-neighbor resample → 2-D DCT-II → 8×8 low-frequency block →
+    threshold at the median of the AC coefficients. The standard pHash
+    construction; robust to resizing/small pixel changes, so near-dup
+    IMAGES (not just byte-identical files) land within a few bits."""
+    w, h, ch, pix = decode_png(png_bytes)
+    arr = np.frombuffer(pix, np.uint8).reshape(h, w * ch)
+    if ch > 1:
+        arr = arr.reshape(h, w, ch).astype(np.float64).mean(axis=2)
+    else:
+        arr = arr.astype(np.float64)
+    ys = (np.arange(PHASH_GRID) * h) // PHASH_GRID
+    xs = (np.arange(PHASH_GRID) * w) // PHASH_GRID
+    small = arr[ys][:, xs]
+    coeffs = (_DCT32 @ small @ _DCT32.T)[:PHASH_BLOCK, :PHASH_BLOCK].ravel()
+    med = float(np.median(coeffs[1:]))  # AC median; DC excluded
+    val = 0
+    for i, c in enumerate(coeffs):
+        if c > med:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def mm_phash_dedup(spark, sf):
+    """Image near-duplicate pairs by perceptual hash — the multimodal arm
+    of the dedup family (training pipelines dedup images the same way
+    SimHash dedups text). One Arrow-batched map computes the 64-bit pHash
+    per image; candidates come from the same banded-Hamming layout as
+    ``dedup_simhash`` (4×16-bit chunks: any pair within Hamming ≤ 3
+    shares at least one identical chunk, so the band-equality join has
+    full recall); the exact Hamming verify is JVM ``bit_count(xor)`` on
+    candidates only. Scale shape: narrow map → shuffle on (band, chunk)
+    → bounded verify; never all-pairs."""
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    imgs = render_page_images(docs, "text", "doc_id")
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ph": [phash64(bytes(p)) for p in pdf["image"]],
+            })
+
+    hashed = imgs.mapInPandas(body, schema="doc_id long, ph long")
+    chunks = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned("ph", b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for b in range(PHASH_BANDS)])
+    ex = hashed.select("doc_id", "ph", F.explode(chunks).alias("c"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("ph").alias("pa"),
+                  "c")
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("ph").alias("pb"),
+                  "c")
+    return (a.join(b, ["c"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= PHASH_MAX_HAMMING))
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_feature_extract": mm_feature_extract,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_phash_dedup": mm_phash_dedup,
 }
 
 # fixtures dir derived from the package location so the oracle SQL works
@@ -240,4 +325,8 @@ ORACLES = {
         f"SELECT * FROM read_parquet('{_FX}/golden_mm_resize_sf001.parquet')",
     "mm_frame_sample":
         f"SELECT * FROM read_parquet('{_FX}/golden_mm_frames_sf001.parquet')",
+    # deterministic end-to-end (seeded renderer → stdlib codec → float64
+    # DCT → fixed banding), so pinnable exactly like the other mm queries
+    "mm_phash_dedup":
+        f"SELECT * FROM read_parquet('{_FX}/golden_mm_phash_sf001.parquet')",
 }

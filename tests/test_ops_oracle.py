@@ -45,7 +45,7 @@ QUERIES = entrymod.queries()
 # queries at sf0.01 here too (x1/x2 ignore the sf dir entirely).
 SF_OVERRIDE = {name: "/root/testdata/sf0.01"
                for name in ("mm_feature_extract", "mm_resize",
-                            "mm_frame_sample",
+                            "mm_frame_sample", "mm_phash_dedup",
                             "dedup_minhash_lsh", "dedup_simhash",
                             "ann_lsh_topk", "ann_ivf_topk")}
 

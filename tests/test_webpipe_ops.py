@@ -331,3 +331,52 @@ def test_mix_sample_python_replay(spark):
     assert got == expected
     # composition sanity: roughly the target fraction overall
     assert 0.3 < len(got) / len(docs) < 0.7
+
+
+def test_phash_robustness_and_neardup_correlation(spark):
+    from sanskrit_ocr_spark.datagen.images import render_text_png
+    from sanskrit_ocr_spark.kernels.png import decode_png, encode_png
+    from sanskrit_ocr_spark.ops.dedup import dedup_ngram_jaccard
+    from sanskrit_ocr_spark.ops.multimodal import (
+        PHASH_MAX_HAMMING, mm_phash_dedup, phash64)
+
+    # 1. a one-pixel perturbation moves the hash by at most a few bits
+    def hamming64(x, y):
+        # phash64 is SIGNED 64-bit (Spark long); mask before popcount —
+        # bin() of a negative xor counts magnitude bits, not two's
+        # complement
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    png = render_text_png("spark table scan merge join filter window")
+    w, h, ch, pix = decode_png(png)
+    buf = bytearray(pix)
+    buf[len(buf) // 2] ^= 0x40
+    perturbed = encode_png(bytes(buf), w, h, channels=ch)
+    assert hamming64(phash64(png), phash64(perturbed)) <= PHASH_MAX_HAMMING
+
+    # 2. unrelated texts are far apart
+    other = render_text_png("completely different words entirely here now")
+    assert hamming64(phash64(png), phash64(other)) > 10
+
+    # 3. near-dup TEXTS mostly render to near-dup IMAGES (measured: 6 of
+    # the 7 planted pairs land at hamming 2-6 vs random-pair median ~27;
+    # one pair's renders differ in geometry and legitimately diverge),
+    # and every emitted pair re-verifies under a direct recompute
+    sf = "/root/testdata/sf0.01"
+    docs = pd.read_parquet(f"{sf}/documents.parquet").set_index("doc_id")
+
+    def ham(a, b):
+        ha = phash64(render_text_png(docs.loc[a, "text"]))
+        hb = phash64(render_text_png(docs.loc[b, "text"]))
+        return hamming64(ha, hb)
+
+    text_pairs = {(r["a_id"], r["b_id"])
+                  for r in dedup_ngram_jaccard(spark, sf).collect()}
+    assert text_pairs
+    close = sum(ham(a, b) <= 8 for a, b in text_pairs)
+    assert close >= len(text_pairs) - 1
+    img_pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+                 for r in mm_phash_dedup(spark, sf).collect()}
+    assert img_pairs
+    for (a, b), d in img_pairs.items():
+        assert ham(a, b) == d <= PHASH_MAX_HAMMING

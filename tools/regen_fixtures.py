@@ -76,6 +76,7 @@ def regen_driver_golden() -> None:
                 ("mm_feature_extract", "golden_mm_features_sf001.parquet"),
                 ("mm_resize", "golden_mm_resize_sf001.parquet"),
                 ("mm_frame_sample", "golden_mm_frames_sf001.parquet"),
+                ("mm_phash_dedup", "golden_mm_phash_sf001.parquet"),
                 ("dedup_minhash_lsh", "golden_minhash_lsh_sf001.parquet"),
                 ("dedup_simhash", "golden_simhash_sf001.parquet"),
                 ("ann_lsh_topk", "golden_ann_lsh_sf001.parquet"),
