@@ -255,7 +255,8 @@ class IceliteTable:
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir) if f.endswith(".parquet"))
 
-    def append(self, df: DataFrame, meta=None) -> int:
+    def append(self, df: DataFrame, meta=None,
+               expected_parent: int | None = None) -> int:
         """Atomically append ``df``; returns the new snapshot id. On a lost
         commit race the staged files are removed and
         ``ConcurrentCommitError`` propagates — the winner's files were
@@ -264,8 +265,17 @@ class IceliteTable:
         ``meta``: optional callable evaluated AFTER the staging write job
         (so Observation metrics are available) whose dict is merged into
         the manifest — how merge_on_key records per-commit row counts
-        without a second pass."""
-        parent = self.snapshot_id()
+        without a second pass.
+
+        ``expected_parent``: commit AT this snapshot instead of re-reading
+        HEAD — the compare-and-swap arm for callers whose ``df`` was
+        derived from a specific snapshot (merge_on_key's anti-join). If
+        HEAD moved past it, the exclusive manifest create for
+        ``expected_parent + 1`` fails with ``ConcurrentCommitError``
+        instead of silently committing a frame derived from a stale
+        snapshot."""
+        parent = (self.snapshot_id() if expected_parent is None
+                  else expected_parent)
         sid = parent + 1
         data_dir, new_files = self._stage_data(df, sid)
         manifest = {"snapshot_id": sid, "parent": parent,
@@ -283,7 +293,9 @@ class IceliteTable:
         """Committed row count at HEAD, from manifest metadata — zero Spark
         jobs. ``None`` if the head commit didn't record one (generic
         ``append`` without meta); 0 for an empty table."""
-        sid = self.snapshot_id()
+        return self._total_rows_at(self.snapshot_id())
+
+    def _total_rows_at(self, sid: int) -> int | None:
         if not sid:
             return 0
         return self._manifest(sid).get("total_rows")
@@ -365,7 +377,13 @@ class IceliteTable:
         Concurrency: on ``ConcurrentCommitError`` the merge retries from
         the NEW committed HEAD — the anti-join is re-derived against the
         winner's snapshot, so retried merges stay idempotent per key
-        (Iceberg's MERGE retry semantics).
+        (Iceberg's MERGE retry semantics). The parent snapshot is captured
+        ONCE per attempt and the commit happens AT that snapshot
+        (``append(expected_parent=...)``): a concurrent commit landing
+        between the anti-join's read and our manifest create loses the
+        manifest race and triggers the retry, instead of silently
+        committing an anti-join derived from a stale snapshot (which
+        would break key uniqueness).
         """
         from pyspark.sql import Observation
 
@@ -380,8 +398,9 @@ class IceliteTable:
             df = df.dropDuplicates([key])
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
-            parent_total = self.row_count()
-            existing = self.read().select(key)
+            parent = self.snapshot_id()
+            parent_total = self._total_rows_at(parent)
+            existing = self.read(parent).select(key)
             if prefilter_buckets:
                 bucket = F.pmod(F.xxhash64(key), F.lit(prefilter_buckets))
                 batch_buckets = df.select(bucket.alias("__mb")).distinct()
@@ -402,7 +421,7 @@ class IceliteTable:
                 return m
 
             try:
-                sid = self.append(fresh, meta=meta)
+                sid = self.append(fresh, meta=meta, expected_parent=parent)
             except ConcurrentCommitError as e:
                 last_err = e
                 continue
@@ -511,6 +530,15 @@ class IceliteTable:
         if not head:
             return []
         oldest_keep = max(1, head - keep_last + 1)
+        # clamp to the oldest RETAINED manifest: a previous expiry with a
+        # smaller window may have already removed manifests inside this
+        # one (expiry always removes an id-prefix), and both the keep_files
+        # resolution and the seal below must only touch manifests that
+        # still exist — same guard history()/schema_at() apply
+        commits_dir = os.path.join(self.root, "_icelite", "commits")
+        while (oldest_keep < head and not os.path.exists(
+                os.path.join(commits_dir, f"{oldest_keep}.json"))):
+            oldest_keep += 1
         # resolve everything needed BEFORE any manifest disappears
         keep_files: set[str] = set()
         for sid in range(oldest_keep, head + 1):

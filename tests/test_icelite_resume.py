@@ -289,3 +289,54 @@ def test_merge_prefilter_is_exact(spark, tmp_path):
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     finally:
         batch.unpersist()
+
+
+def test_merge_toctou_interleaved_commit_cannot_duplicate_keys(spark, tmp_path):
+    """r3 ADVICE (medium): a commit landing BETWEEN merge_on_key's read of
+    the committed keys and its own manifest create must force a retry (the
+    commit is a CAS at the captured parent snapshot), never a successful
+    commit whose anti-join was derived from the stale snapshot — that would
+    silently insert duplicate keys and break the MERGE idempotency contract
+    the CLI summary relies on (distinct_urls == extracted_total)."""
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    root = str(tmp_path / "toctou")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    base = extracted_table(spark, root)
+
+    class RacyTable(IceliteTable):
+        """read() runs an interloper commit AFTER the caller resolved its
+        snapshot — deterministically opening the exact TOCTOU window."""
+        interloper = None
+
+        def read(self, snapshot_id=None):
+            df = super().read(snapshot_id)
+            if RacyTable.interloper is not None:
+                hook, RacyTable.interloper = RacyTable.interloper, None
+                hook()
+            return df
+
+    def interloper():
+        # separate handle, same table: commits urls 100..150 as snapshot 2
+        extracted_table(spark, root).merge_on_key(
+            extract_pages(_pages(spark, 100, 150)), "url",
+            order_col="warc_ts")
+
+    victim = RacyTable(spark, base.root, base.schema)
+    RacyTable.interloper = interloper
+    # victim merges urls 50..200 — overlapping BOTH the base table and the
+    # interloper's batch
+    sid, inserted = victim.merge_on_key(
+        extract_pages(_pages(spark, 50, 200)), "url", order_col="warc_ts")
+
+    # the victim must have lost the race once and retried: snapshots are
+    # 1 (base), 2 (interloper), 3 (victim's retry)
+    assert sid == 3
+    final = extracted_table(spark, root).read()
+    # key uniqueness survived the interleaving
+    assert final.select("url").distinct().count() == final.count()
+    # and nothing was lost: every input url is present exactly once
+    expected = (extract_pages(_pages(spark, 0, 200))
+                .select("url").distinct().count())
+    assert final.count() == expected

@@ -112,3 +112,25 @@ def test_row_count_metadata_tracks_merges(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     assert t.row_count() == 196
     assert t.read().count() == 196
+
+
+def test_expire_widening_window_after_deeper_expiry(spark, tmp_path):
+    """r3 ADVICE (low): expire(keep_last=1) followed by expire(keep_last=3)
+    with no intervening commits must not crash reading already-expired
+    manifests — the retention window clamps to the oldest retained one."""
+    root = str(tmp_path / "ew")
+    for lo in (0, 100, 200):
+        run_extraction(spark, _pages(spark, lo, lo + 100), root,
+                       committed_at=TS)
+    t = extracted_table(spark, root)
+    n = t.read().count()
+    t.expire_snapshots(keep_last=1)
+    # widening the window reaches below sealed history: a clean no-op
+    assert t.expire_snapshots(keep_last=3) == []
+    assert t.read().count() == n
+    # the table still moves forward: new commit, then expiry works again
+    run_extraction(spark, _pages(spark, 300, 400), root, committed_at=TS)
+    t2 = extracted_table(spark, root)
+    n2 = t2.read().count()
+    assert t2.expire_snapshots(keep_last=1) != []
+    assert t2.read().count() == n2
