@@ -65,6 +65,19 @@ def main(argv: list[str] | None = None) -> int:
                         "anti-join via a broadcast key-hash bucket set "
                         "(the 10^12-row shuffle guard; size >> batch keys)")
     args = p.parse_args(argv)
+    if args.stream_warc and (args.partitioned
+                             or args.salt_partitions is not None
+                             or args.merge_prefilter_buckets is not None):
+        # the streaming ingest commits through an unpartitioned table and
+        # its own foreachBatch merge; silently ignoring these would make a
+        # `--stream-warc --partitioned` run reopen the table under the
+        # wrong layout (r3 ADVICE) — fail loudly instead
+        p.error("--stream-warc does not support --partitioned, "
+                "--salt-partitions or --merge-prefilter-buckets")
+    if args.checkpoint and not args.stream_warc:
+        p.error("--checkpoint is only meaningful with --stream-warc")
+    if args.rows is not None and args.rows <= 0:
+        p.error("--rows must be positive")
 
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)
@@ -81,8 +94,6 @@ def main(argv: list[str] | None = None) -> int:
                    "inserted": (ext_t.row_count() or 0) - before}
         else:
             if args.rows is not None:
-                if args.rows <= 0:
-                    p.error("--rows must be positive")
                 pages = pages_df(spark, args.rows)
             elif args.input_warc:
                 from sanskrit_ocr_spark.sources.warclite import read_warc

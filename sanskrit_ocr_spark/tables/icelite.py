@@ -208,13 +208,27 @@ class IceliteTable:
             return self.spark.createDataFrame([], schema)
         if not self.partition_cols:
             return self.spark.read.schema(schema).parquet(*files)
-        reader_schema = StructType(
-            list(schema.fields)
-            + [StructField("__commit", StringType(), True)])
-        return (self.spark.read.schema(reader_schema)
-                .option("basePath", os.path.join(self.root, "data"))
-                .parquet(*files)
-                .drop("__commit"))
+        if all(os.path.basename(os.path.normpath(f)).startswith("__commit=")
+               for f in files):
+            reader_schema = StructType(
+                list(schema.fields)
+                + [StructField("__commit", StringType(), True)])
+            return (self.spark.read.schema(reader_schema)
+                    .option("basePath", os.path.join(self.root, "data"))
+                    .parquet(*files)
+                    .drop("__commit"))
+        # Legacy layout (pre-r3 partitioned tables committed plain
+        # commit-<n> directories — the hive __commit= level Spark's shared
+        # basePath discovery needs is absent): per-directory union, one
+        # scan node per commit. Appends keep working (the referenced set
+        # goes mixed, still read here); compact() + expire_snapshots()
+        # migrates the table back onto the single-scan fast path.
+        parts = [self.spark.read.schema(schema).option("basePath", f)
+                 .parquet(f) for f in files]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: [{snapshot_id, parent, n_files}].

@@ -112,3 +112,58 @@ def test_many_commits_single_scan_and_delta_manifests(spark, tmp_path):
     assert len(t.files_at(n_commits)) == n_commits
     # time travel unaffected
     assert t.read(snapshot_id=3).count() == 75
+
+
+def test_legacy_partitioned_layout_read_and_migration(spark, tmp_path):
+    """r3 ADVICE (low): partitioned tables written before the shared-
+    basePath layout used plain ``data/commit-<n>`` directory names. read()
+    must fall back to the per-directory union for them, appends must keep
+    working (mixed naming), and compact()+expire() must migrate the table
+    back onto the single-scan fast path."""
+    import json
+    import os
+    import re
+    import shutil
+
+    t = IceliteTable(spark, str(tmp_path / "legacy"), LAYOUT_SCHEMA,
+                     partition_cols=["warc_day", "bucket"])
+    t.append(_layout_df(spark, 0, 100))
+    t.append(_layout_df(spark, 100, 200))
+
+    # rewrite history into the legacy on-disk form: rename each commit dir
+    # to commit-<n> and point the manifests (legacy cumulative `files`
+    # form) at the renamed paths
+    data = os.path.join(t.root, "data")
+    renames = {}
+    for name in sorted(os.listdir(data)):
+        if name.startswith("__commit="):
+            legacy = "commit-" + name.split("=", 1)[1].split("-")[0]
+            shutil.move(os.path.join(data, name), os.path.join(data, legacy))
+            renames[os.path.join(data, name)] = os.path.join(data, legacy)
+    cdir = os.path.join(t.root, "_icelite", "commits")
+    for mname in os.listdir(cdir):
+        with open(os.path.join(cdir, mname)) as f:
+            m = json.load(f)
+        m["new_files"] = [renames.get(p, p) for p in m.get("new_files", [])]
+        with open(os.path.join(cdir, mname), "w") as f:
+            json.dump(m, f)
+
+    # fresh handle (no memoized file lists): legacy layout reads correctly
+    t2 = IceliteTable(spark, t.root, LAYOUT_SCHEMA,
+                      partition_cols=["warc_day", "bucket"])
+    assert t2.read().count() == 200
+    assert t2.read().filter(F.col("bucket") == 3).count() > 0
+
+    # appending produces a mixed referenced set — still readable
+    t2.append(_layout_df(spark, 200, 300))
+    assert t2.read().count() == 300
+
+    # migration: compact rewrites everything into one __commit= dir;
+    # after expiry the fast single-scan path re-engages
+    t2.compact(target_partitions=2)
+    t2.expire_snapshots(keep_last=1)
+    full = t2.read()
+    assert full.count() == 300
+    plan = _plan(full)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Union" not in plan
