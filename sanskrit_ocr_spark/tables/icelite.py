@@ -134,6 +134,38 @@ class IceliteTable:
     def committed_files(self) -> list[str]:
         return self.files_at(self.snapshot_id())
 
+    def _groups_at(self, sid: int) -> tuple[list, list]:
+        """Per-commit file provenance + pending equality deletes at
+        ``sid``: ``([(commit_sid, [files...]), ... oldest-first],
+        [{"sid": s, "dir": d, "key": k}, ...])``.
+
+        Walks delta manifests like ``files_at``. A full manifest
+        terminates the walk: compacted/upsert-rewritten ones contribute
+        one group at their own commit id (their data already has every
+        older delete applied); SEALED manifests (expire_snapshots below a
+        merge-on-read commit) carry explicit ``file_groups`` + ``deletes``
+        preserving the provenance the delete predicates need."""
+        groups: list = []
+        deletes: list = []
+        cur = sid
+        while cur:
+            m = self._manifest(cur)
+            deletes.extend(m.get("deletes", []))
+            if "files" in m:  # legacy cumulative form (predates MOR)
+                groups.append((cur, m["files"]))
+                break
+            if m.get("full"):
+                if "file_groups" in m:
+                    groups.extend((g[0], g[1])
+                                  for g in reversed(m["file_groups"]))
+                else:
+                    groups.append((cur, m["new_files"]))
+                break
+            groups.append((cur, m["new_files"]))
+            cur = m["parent"]
+        groups.reverse()
+        return groups, deletes
+
     # -- schema evolution -----------------------------------------------------
     def schema_at(self, sid: int) -> StructType:
         """Table schema in effect at snapshot ``sid`` (Iceberg's
@@ -206,6 +238,39 @@ class IceliteTable:
         files = self.files_at(sid)
         if not files:
             return self.spark.createDataFrame([], schema)
+        groups, deletes = self._groups_at(sid)
+        if deletes:
+            # merge-on-read path: rows carry their commit id, and each
+            # pending equality-delete file anti-joins away OLDER rows with
+            # a matching key (Iceberg v2 equality-delete semantics: a
+            # delete at commit s applies to data committed before s, so a
+            # same-commit re-insert survives). Delete sets are O(batch) →
+            # broadcast; readers pay one broadcast anti-join per
+            # un-compacted MOR commit, and compact() restores the plain
+            # single-scan path.
+            parts = []
+            for csid, gfiles in groups:
+                if self.partition_cols:
+                    sub = [self.spark.read.schema(schema)
+                           .option("basePath", f).parquet(f) for f in gfiles]
+                    g = sub[0]
+                    for s in sub[1:]:
+                        g = g.unionByName(s)
+                else:
+                    g = self.spark.read.schema(schema).parquet(*gfiles)
+                parts.append(g.withColumn("__csid", F.lit(csid)))
+            data = parts[0]
+            for p in parts[1:]:
+                data = data.unionByName(p)
+            for d in deletes:
+                dk = (self.spark.read.parquet(d["dir"])
+                      .select(F.col(d["key"]).alias("__dk")))
+                data = data.join(
+                    F.broadcast(dk),
+                    (F.col(d["key"]) == F.col("__dk"))
+                    & (F.col("__csid") < F.lit(d["sid"])),
+                    "left_anti")
+            return data.drop("__csid")
         if not self.partition_cols:
             return self.spark.read.schema(schema).parquet(*files)
         if all(os.path.basename(os.path.normpath(f)).startswith("__commit=")
@@ -504,6 +569,62 @@ class IceliteTable:
             return sid, updated
         raise last_err  # type: ignore[misc]
 
+    def merge_upsert_mor(self, df: DataFrame, key: str,
+                         order_col: str | None = None) -> tuple[int, int]:
+        """Full MERGE as merge-on-read — the 10^12-row update arm
+        merge_upsert's copy-on-write deliberately is not: stage ONLY the
+        batch's data files plus an equality-delete key file, applied at
+        read time to rows from OLDER commits (Iceberg v2 equality-delete
+        discipline). A re-crawl batch (same url, newer ``warc_ts``)
+        touches O(batch) data, never O(table); ``compact()`` later applies
+        the deletes physically and restores the single-scan read, and
+        ``expire_snapshots`` reclaims the applied delete files.
+
+        Returns ``(snapshot_id, updated)`` where ``updated`` counts target
+        rows superseded by a source row (one metadata-free scan of the
+        parent snapshot's key column — no rewrite). Within-batch duplicate
+        keys resolve first-wins by ``order_col`` exactly as merge_on_key;
+        commits are CAS'd at the captured parent snapshot."""
+        from pyspark.sql import Observation
+
+        if order_col:
+            w = Window.partitionBy(F.xxhash64(key), key) \
+                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
+            df = (df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+        else:
+            df = df.dropDuplicates([key])
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(3):
+            parent = self.snapshot_id()
+            sid = parent + 1
+            prev_total = self._total_rows_at(parent)
+            keys = df.select(key).distinct()
+            updated = (self.read(parent).select(key)
+                       .join(keys, key, "left_semi").count()) if parent else 0
+            obs = Observation()
+            staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            data_dir, new_files = self._stage_data(staged, sid)
+            n_batch = int(obs.get["n"])
+            del_dir = os.path.join(
+                self.root, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}")
+            keys.write.mode("error").parquet(del_dir)
+            manifest = {"snapshot_id": sid, "parent": parent,
+                        "new_files": new_files, "upsert_mor": True,
+                        "deletes": [{"sid": sid, "dir": del_dir,
+                                     "key": key}]}
+            if prev_total is not None:
+                manifest["total_rows"] = prev_total - updated + n_batch
+            try:
+                self._commit_manifest(sid, manifest)
+            except ConcurrentCommitError as e:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                shutil.rmtree(del_dir, ignore_errors=True)
+                last_err = e
+                continue
+            return sid, updated
+        raise last_err  # type: ignore[misc]
+
     # -- maintenance ------------------------------------------------------------
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
@@ -553,22 +674,36 @@ class IceliteTable:
         while (oldest_keep < head and not os.path.exists(
                 os.path.join(commits_dir, f"{oldest_keep}.json"))):
             oldest_keep += 1
-        # resolve everything needed BEFORE any manifest disappears
+        # resolve everything needed BEFORE any manifest disappears; the
+        # keep set includes equality-delete files any retained snapshot's
+        # merge-on-read read path still applies
         keep_files: set[str] = set()
         for sid in range(oldest_keep, head + 1):
             keep_files.update(self.files_at(sid))
+            _, dels = self._groups_at(sid)
+            keep_files.update(d["dir"] for d in dels)
         m = self._manifest(oldest_keep)
+        keep_groups, keep_deletes = self._groups_at(oldest_keep)
         # seal when the manifest is a delta (needs the resolved file list)
         # OR lacks a schema (an already-full legacy/compacted manifest whose
-        # schema still lives in an about-to-expire parent): either way the
-        # oldest retained manifest must be self-contained after expiry
-        if ("files" not in m and not m.get("full")) or "schema" not in m:
+        # schema still lives in an about-to-expire parent) OR sits above
+        # un-compacted merge-on-read commits (the delete predicates need
+        # per-commit provenance): either way the oldest retained manifest
+        # must be self-contained after expiry
+        if (("files" not in m and not m.get("full")) or "schema" not in m
+                or (keep_deletes and "file_groups" not in m)):
             sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
                       "new_files": self.files_at(oldest_keep), "full": True,
                       # seal the schema in effect here: the evolution commit
                       # that introduced it may be among the expired parents
                       "schema": self.schema_at(oldest_keep).jsonValue()}
-            for k in ("inserted", "total_rows", "compacted", "merged_upsert"):
+            if keep_deletes:
+                # preserve merge-on-read state across the seal: provenance
+                # groups + the still-pending delete entries
+                sealed["file_groups"] = [[s, fs] for s, fs in keep_groups]
+                sealed["deletes"] = keep_deletes
+            for k in ("inserted", "total_rows", "compacted", "merged_upsert",
+                      "upsert_mor"):
                 if k in m:
                     sealed[k] = m[k]
             fd, tmp = tempfile.mkstemp(
@@ -585,6 +720,9 @@ class IceliteTable:
                 continue
             old = self._manifest(sid)
             delta = old["files"] if "files" in old else old["new_files"]
+            # delete files introduced by expired MOR commits go too (unless
+            # a retained snapshot still applies them — keep_files has those)
+            delta = list(delta) + [d["dir"] for d in old.get("deletes", [])]
             for f in delta:
                 if f not in keep_files and os.path.exists(f):
                     if os.path.isdir(f):
@@ -617,6 +755,9 @@ class IceliteTable:
                 # orphan): keep ITS OWN files conservatively
                 m = self._manifest(sid)
                 entries = m["files"] if "files" in m else m["new_files"]
+            entries = list(entries) + [
+                d["dir"]
+                for d in self._manifest(sid).get("deletes", [])]
             for f in entries:
                 # normalize file entries to their commit directory
                 d = f if os.path.isdir(f) else os.path.dirname(f)

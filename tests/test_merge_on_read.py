@@ -1,0 +1,186 @@
+"""Merge-on-read upsert arm (r3 VERDICT #4): a re-crawl batch (same url,
+newer warc_ts) replaces rows while touching only O(batch) data files;
+compact() applies the equality deletes physically; expire_snapshots
+preserves pending deletes across the seal and reclaims applied ones."""
+
+import io
+import contextlib
+import json
+import os
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def _batch(spark, lo, hi, text, day=1):
+    rows = [(f"https://ex.org/{i}",
+             f"2025-07-0{day} 00:00:00", f"{text}-{i}")
+            for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "url string, warc_ts string,"
+                                 " text string") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def _table(spark, tmp_path, name="mor"):
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+    return IceliteTable(spark, str(tmp_path / name), SCHEMA)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_mor_upsert_replaces_rows_with_batch_sized_writes(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_on_key(_batch(spark, 0, 100, "v1"), "url", order_col="warc_ts")
+
+    recrawl = _batch(spark, 90, 115, "v2", day=2)
+    sid, updated = t.merge_upsert_mor(recrawl, "url", order_col="warc_ts")
+    assert sid == 2 and updated == 10
+
+    out = t.read()
+    assert out.count() == 115
+    assert out.select("url").distinct().count() == 115
+    # replaced urls carry the new text; untouched ones the old
+    assert out.filter(F.col("url") == "https://ex.org/95") \
+        .head()["text"] == "v2-95"
+    assert out.filter(F.col("url") == "https://ex.org/5") \
+        .head()["text"] == "v1-5"
+    # manifest math rides the commit: no count jobs needed
+    assert t.row_count() == 115
+
+    # O(batch) write amplification: commit 2 staged only its own files —
+    # the cumulative list grew by the new commit's files, nothing rewritten
+    m2 = t._manifest(2)
+    assert set(t.files_at(1)) < set(t.files_at(2))
+    assert set(m2["new_files"]).isdisjoint(t.files_at(1))
+    assert m2["deletes"][0]["key"] == "url"
+
+    # time travel: the parent snapshot still shows the pre-recrawl rows
+    old = t.read(snapshot_id=1)
+    assert old.count() == 100
+    assert old.filter(F.col("url") == "https://ex.org/95") \
+        .head()["text"] == "v1-95"
+
+
+def test_mor_same_commit_reinsert_survives_its_own_delete(spark, tmp_path):
+    """The equality delete at commit s applies to commits < s only — the
+    batch's own rows (committed AT s) must survive."""
+    t = _table(spark, tmp_path)
+    t.append(_batch(spark, 0, 10, "v1"))
+    t.merge_upsert_mor(_batch(spark, 0, 10, "v2", day=2), "url")
+    out = t.read()
+    assert out.count() == 10
+    assert {r["text"] for r in out.collect()} == {f"v2-{i}"
+                                                  for i in range(10)}
+
+
+def test_mor_then_merge_on_key_sees_current_keys(spark, tmp_path):
+    """The insert-only resume path must anti-join against the MOR view:
+    a url replaced via MOR is still 'present' and must not re-insert."""
+    t = _table(spark, tmp_path)
+    t.merge_on_key(_batch(spark, 0, 50, "v1"), "url", order_col="warc_ts")
+    t.merge_upsert_mor(_batch(spark, 40, 60, "v2", day=2), "url")
+    _, inserted = t.merge_on_key(_batch(spark, 0, 70, "v3", day=3), "url",
+                                 order_col="warc_ts")
+    assert inserted == 10  # only 60..70 are new
+    assert t.read().select("url").distinct().count() == 70
+
+
+def test_mor_compact_applies_deletes_and_restores_single_scan(spark,
+                                                              tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_on_key(_batch(spark, 0, 100, "v1"), "url", order_col="warc_ts")
+    t.merge_upsert_mor(_batch(spark, 0, 20, "v2", day=2), "url")
+
+    # MOR read pays the anti-join; after compact the plan is one plain scan
+    assert "Join LeftAnti" in _plan(t.read())
+    t.compact(target_partitions=2)
+    plan = _plan(t.read())
+    assert "LeftAnti" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    out = t.read()
+    assert out.count() == 100
+    assert out.filter(F.col("url") == "https://ex.org/5") \
+        .head()["text"] == "v2-5"
+
+    # expiry reclaims the applied delete files
+    del_dir = t._manifest(2)["deletes"][0]["dir"]
+    assert os.path.isdir(del_dir)
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(del_dir)
+    assert t.read().count() == 100
+
+
+def test_mor_expire_seal_preserves_pending_deletes(spark, tmp_path):
+    """Sealing the oldest retained manifest above an un-compacted MOR
+    commit must carry the provenance groups + delete entries — otherwise
+    replaced rows would resurrect after expiry."""
+    t = _table(spark, tmp_path)
+    t.merge_on_key(_batch(spark, 0, 100, "v1"), "url", order_col="warc_ts")
+    t.merge_upsert_mor(_batch(spark, 0, 20, "v2", day=2), "url")
+    t.append(_batch(spark, 100, 110, "v1"))
+    t.append(_batch(spark, 110, 120, "v1"))
+
+    t.expire_snapshots(keep_last=2)  # seals snapshot 3, expires 1 and 2
+    sealed = t._manifest(3)
+    assert sealed.get("full") and sealed.get("deletes")
+    assert sealed.get("file_groups")
+
+    t2 = _table(spark, tmp_path)  # fresh handle, no caches
+    out = t2.read()
+    assert out.count() == 120
+    assert out.filter(F.col("url") == "https://ex.org/5") \
+        .head()["text"] == "v2-5"
+    assert out.filter(F.col("url") == "https://ex.org/50") \
+        .head()["text"] == "v1-50"
+    # the pending delete file survived expiry (a retained snapshot needs it)
+    assert os.path.isdir(sealed["deletes"][0]["dir"])
+
+
+def test_mor_partitioned_table(spark, tmp_path):
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    pschema = StructType(SCHEMA.fields + [
+        StructField("bucket", LongType(), False)])
+    t = IceliteTable(spark, str(tmp_path / "morp"), pschema,
+                     partition_cols=["bucket"])
+
+    def with_bucket(df):
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(4)).cast("long"))
+
+    t.append(with_bucket(_batch(spark, 0, 80, "v1")))
+    sid, updated = t.merge_upsert_mor(
+        with_bucket(_batch(spark, 60, 90, "v2", day=2)), "url")
+    assert updated == 20
+    out = t.read()
+    assert out.count() == 90
+    assert out.filter(F.col("url") == "https://ex.org/70") \
+        .head()["text"] == "v2-70"
+    # partition values survive the per-group MOR read
+    assert out.filter(F.col("bucket").isNull()).count() == 0
+
+
+def test_mor_remove_orphans_keeps_delete_files(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.append(_batch(spark, 0, 30, "v1"))
+    t.merge_upsert_mor(_batch(spark, 0, 10, "v2", day=2), "url")
+    del_dir = t._manifest(2)["deletes"][0]["dir"]
+    removed = t.remove_orphans()
+    assert os.path.normpath(del_dir) not in removed
+    assert os.path.isdir(del_dir)
+    assert t.read().count() == 30
