@@ -47,7 +47,12 @@ def curate(extracted: DataFrame, min_graphemes: int = MIN_GRAPHEMES) -> DataFram
 def write_corpus(corpus: DataFrame, dest: str,
                  captions: bool = True) -> dict:
     """Write corpus parquet (+ captions JSONL); returns stats from an
-    Observation on the write pass — no extra count jobs."""
+    Observation on the write pass — no extra count jobs.
+
+    The curation DAG (status/quality gates + the dedup window shuffle)
+    runs ONCE: the captions JSONL is derived by re-reading the
+    just-written corpus parquet, not by re-evaluating ``corpus``
+    (r3 VERDICT #5 — the previous shape computed the whole DAG twice)."""
     obs = Observation()
     observed = corpus.observe(
         obs,
@@ -57,6 +62,7 @@ def write_corpus(corpus: DataFrame, dest: str,
     observed.write.mode("overwrite").parquet(f"{dest}/corpus")
     stats = {k: int(v) for k, v in obs.get.items()}
     if captions:
-        (corpus.select("url", "text")
+        (corpus.sparkSession.read.parquet(f"{dest}/corpus")
+         .select("url", "text")
          .write.mode("overwrite").json(f"{dest}/captions_jsonl"))
     return stats

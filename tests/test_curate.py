@@ -55,3 +55,23 @@ def test_write_corpus_and_captions(spark, tmp_path):
         (tmp_path / "corpus_out" / "captions_jsonl").glob("part-*.json")
     ).read_text().splitlines()[0])
     assert set(one) == {"url", "text"}
+
+
+def test_write_corpus_evaluates_curation_dag_once(spark, tmp_path):
+    """r3 VERDICT #5: the captions JSONL must come from re-reading the
+    just-written corpus parquet, not from re-running the curation DAG —
+    a per-row accumulator on the curated frame must tick exactly once per
+    corpus row even with captions enabled."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(u):
+        acc.add(1)
+        return u
+
+    ext = _extracted(spark, 200)
+    corpus = curate(ext).withColumn("url", tick("url"))
+    stats = write_corpus(corpus, str(tmp_path / "once_out"))
+    assert acc.value == stats["docs"]
+    caps = spark.read.json(str(tmp_path / "once_out" / "captions_jsonl"))
+    assert caps.count() == stats["docs"]
