@@ -239,6 +239,67 @@ def dedup_minhash_lsh(spark, sf, df_cap: int | None = None):
             .select("a_id", "b_id", "jaccard"))
 
 
+# --- Hamming-ball candidate index (Manku-style permuted-block tables) -----------
+
+# Manku et al. 2007 ("Detecting Near-Duplicates for Web Crawling", WWW) —
+# the production simhash-dedup layout: split the 64-bit hash into
+# HAM_BLOCKS blocks; a pair within Hamming distance ≤ HAM_MAX differs in
+# at most HAM_MAX blocks, so it agrees EXACTLY on some
+# (HAM_BLOCKS − HAM_MAX)-block combination — and every such combination
+# is one of the C(HAM_BLOCKS, HAM_BLOCKS−HAM_MAX) table keys enumerated
+# below. Full recall like a 4×16-bit chunk join, but each key carries
+# ~64·(1 − HAM_MAX/HAM_BLOCKS) ≈ 32 bits instead of 16: expected random
+# collisions drop from 4·n²/2^16 to 20·n²/2^32 — ~2^14 fewer candidate
+# pairs, which is what keeps the verify stage linear at 10^9+ docs
+# (r3 VERDICT "what's wrong #2"; measured counts in BENCH/PLANS.md).
+HAM_BLOCKS = 6
+HAM_MAX = 3  # == SIMHASH_MAX_HAMMING / PHASH_MAX_HAMMING
+
+
+def _ham_block_bounds(bits: int = 64,
+                      blocks: int = HAM_BLOCKS) -> list[tuple[int, int]]:
+    """(offset, size) per block — sizes 11,11,11,11,10,10 for 64/6."""
+    sizes = [bits // blocks + (1 if i < bits % blocks else 0)
+             for i in range(blocks)]
+    out, off = [], 0
+    for s in sizes:
+        out.append((off, s))
+        off += s
+    return out
+
+
+def hamming_candidates(sig: DataFrame, hash_col: str,
+                       id_col: str = "doc_id",
+                       max_hamming: int = HAM_MAX) -> DataFrame:
+    """(id, 64-bit hash) → candidate pairs ``(a_id, b_id, ha, hb)`` with
+    FULL recall for pairs within ``max_hamming`` bits.
+
+    One explode (C(6,3)=20 table keys per row, each the xxhash64 of a
+    block combination — an 8-byte shuffle key) → one self-join on the
+    key. Key-hash collisions across tables only ADD candidates (the
+    caller's exact bit_count verify removes them); recall is exact by the
+    pigeonhole argument above."""
+    from itertools import combinations
+
+    bounds = _ham_block_bounds()
+    blocks = [F.shiftrightunsigned(F.col(hash_col), off)
+              .bitwiseAND(F.lit((1 << size) - 1))
+              for off, size in bounds]
+    keep = HAM_BLOCKS - max_hamming
+    tables = F.array(*[
+        F.xxhash64(F.lit(tid), *[blocks[i] for i in combo])
+        for tid, combo in enumerate(
+            combinations(range(HAM_BLOCKS), keep))])
+    ex = sig.select(id_col, hash_col, F.explode(tables).alias("bh"))
+    a = ex.select(F.col(id_col).alias("a_id"),
+                  F.col(hash_col).alias("ha"), "bh")
+    b = ex.select(F.col(id_col).alias("b_id"),
+                  F.col(hash_col).alias("hb"), "bh")
+    return (a.join(b, "bh")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "ha", "hb"))
+
+
 # --- SimHash (vectorized pandas UDF + bit_count verify; rows-only) --------------
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)
@@ -277,26 +338,14 @@ def simhash_df(docs: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark, sf):
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks
-    (any equal chunk → candidate, guaranteed to catch hamming ≤ 3), verify
-    with bit_count(xor) ≤ SIMHASH_MAX_HAMMING."""
+    """Near-dup pairs by SimHash: Manku permuted-block candidate tables
+    (``hamming_candidates`` — full recall for hamming ≤ 3, ~32-bit keys),
+    exact verify with bit_count(xor) ≤ SIMHASH_MAX_HAMMING."""
     sig = simhash_df(t(spark, sf, "documents"))
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-                 .alias("ch"))
-        for c in range(4)
-    ])
-    ex = (sig.select("doc_id", "simhash", F.explode(chunks).alias("cd"))
-          .select("doc_id", "simhash",
-                  F.col("cd.chunk").alias("chunk"), F.col("cd.ch").alias("ch")))
-    a = ex.select(F.col("doc_id").alias("a_id"),
-                  F.col("simhash").alias("ha"), "chunk", "ch")
-    b = ex.select(F.col("doc_id").alias("b_id"),
-                  F.col("simhash").alias("hb"), "chunk", "ch")
+    cand = hamming_candidates(sig, "simhash",
+                              max_hamming=SIMHASH_MAX_HAMMING)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (a.join(b, ["chunk", "ch"])
-            .filter(F.col("a_id") < F.col("b_id"))
+    return (cand
             .select("a_id", "b_id", ham.alias("hamming")).distinct()
             .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
 

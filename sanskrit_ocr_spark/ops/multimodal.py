@@ -222,8 +222,7 @@ def mm_frame_sample(spark, sf):
 
 PHASH_GRID = 32        # resample size before the DCT
 PHASH_BLOCK = 8        # low-frequency block kept (8×8 → 64 bits)
-PHASH_MAX_HAMMING = 3
-PHASH_BANDS = 4        # 4×16-bit chunks: hamming ≤ 3 ⇒ ≥1 identical chunk
+PHASH_MAX_HAMMING = 3  # candidate index: ops.dedup.hamming_candidates
 
 
 def _dct_basis(n: int) -> np.ndarray:
@@ -266,12 +265,14 @@ def mm_phash_dedup(spark, sf):
     """Image near-duplicate pairs by perceptual hash — the multimodal arm
     of the dedup family (training pipelines dedup images the same way
     SimHash dedups text). One Arrow-batched map computes the 64-bit pHash
-    per image; candidates come from the same banded-Hamming layout as
-    ``dedup_simhash`` (4×16-bit chunks: any pair within Hamming ≤ 3
-    shares at least one identical chunk, so the band-equality join has
-    full recall); the exact Hamming verify is JVM ``bit_count(xor)`` on
-    candidates only. Scale shape: narrow map → shuffle on (band, chunk)
-    → bounded verify; never all-pairs."""
+    per image; candidates come from the shared Manku permuted-block
+    index (``ops.dedup.hamming_candidates`` — full recall for Hamming ≤
+    ``PHASH_MAX_HAMMING`` with ~32-bit table keys, so the candidate join
+    stays linear at web scale); the exact Hamming verify is JVM
+    ``bit_count(xor)`` on candidates only. Scale shape: narrow map →
+    shuffle on an 8-byte table key → bounded verify; never all-pairs."""
+    from sanskrit_ocr_spark.ops.dedup import hamming_candidates
+
     docs = t(spark, sf, "documents").select("doc_id", "text")
     imgs = render_page_images(docs, "text", "doc_id")
 
@@ -283,20 +284,11 @@ def mm_phash_dedup(spark, sf):
             })
 
     hashed = imgs.mapInPandas(body, schema="doc_id long, ph long")
-    chunks = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned("ph", b * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        for b in range(PHASH_BANDS)])
-    ex = hashed.select("doc_id", "ph", F.explode(chunks).alias("c"))
-    a = ex.select(F.col("doc_id").alias("a_id"), F.col("ph").alias("pa"),
-                  "c")
-    b = ex.select(F.col("doc_id").alias("b_id"), F.col("ph").alias("pb"),
-                  "c")
-    return (a.join(b, ["c"])
-            .filter(F.col("a_id") < F.col("b_id"))
+    cand = hamming_candidates(hashed, "ph",
+                              max_hamming=PHASH_MAX_HAMMING)
+    return (cand
             .select("a_id", "b_id",
-                    F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= PHASH_MAX_HAMMING))

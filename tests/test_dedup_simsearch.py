@@ -225,3 +225,48 @@ def test_int8_quantization_error_bound_and_neighbor_recall(spark):
         hits += len(exact & quant)
         total += len(exact)
     assert hits / total >= 0.8  # int8 keeps the neighborhood structure
+
+
+def test_hamming_candidates_full_recall_property():
+    """The Manku permuted-block index must find EVERY pair within
+    hamming <= 3 (pigeonhole over 6 blocks / C(6,3) table keys) — checked
+    against a numpy brute-force over random hashes with planted near
+    pairs at hamming 1, 2 and 3."""
+    import itertools
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sanskrit_ocr_spark.conf import build_spark
+    from sanskrit_ocr_spark.ops.dedup import hamming_candidates
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(1 << 62), 1 << 62, size=120, dtype=np.int64)
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    nid = len(rows)
+    # planted near-duplicates: flip 1, 2 or 3 random bits of random bases
+    for k, flips in enumerate([1, 2, 3] * 8):
+        src = int(base[rng.integers(0, len(base))])
+        h = src
+        for b in rng.choice(64, size=flips, replace=False):
+            h ^= 1 << int(b)
+        h = h - (1 << 64) if h >= (1 << 63) else h
+        rows.append((nid + k, int(np.int64(h))))
+
+    spark = build_spark(master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    cand = hamming_candidates(df, "h")
+    got = {(r["a_id"], r["b_id"])
+           for r in cand
+           .withColumn("ham",
+                       F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+           .filter(F.col("ham") <= 3).distinct().collect()}
+
+    arr = np.array([h for _, h in rows], dtype=np.int64).astype(np.uint64)
+    want = set()
+    for i, j in itertools.combinations(range(len(arr)), 2):
+        if bin(int(arr[i] ^ arr[j])).count("1") <= 3:
+            want.add((min(rows[i][0], rows[j][0]),
+                      max(rows[i][0], rows[j][0])))
+    assert want, "planted pairs missing from the fixture itself"
+    assert got == want
