@@ -58,13 +58,17 @@ def main() -> int:
             F.bit_xor(F.xxhash64(F.to_json(F.struct(*df.columns)))).alias("h")
         ).collect()
 
+    # r4 registry consolidation renames (BENCH/RESULTS.md): p1_content_gate
+    # was p1_content_filter (+F1 gate), ts_doc_stats subsumes
+    # ts_fingerprint (+lang/quality/token columns), dedup_exact_hash covers
+    # the dropped d1_dedup_first_wins.
     headline = [
-        "p1_content_filter", "d1_dedup_first_wins", "q1_pricing_summary",
+        "p1_content_gate", "q1_pricing_summary",
         "q3_top_revenue", "j_broadcast_dims", "w2_sessionize",
         "dedup_exact_hash", "dedup_minhash_lsh", "ann_cosine_topk",
-        "ts_fingerprint", "mm_feature_extract",
+        "ts_doc_stats", "mm_feature_extract",
         "dedup_paragraphs", "ann_semantic_dedup", "ts_hash_split",
-        "x5_web_curate",
+        "x5_web_curate", "e1_event_sets",
     ]
 
     timings: dict[str, float] = {}

@@ -36,59 +36,31 @@ def _dec_sum(col, alias):
     return F.sum(_dec(col)).cast("double").alias(alias)
 
 
-# --- P1: content filter (reference h5_to_parquet.py:17-21; ASCII analog on
-# --- the English `documents` table — the Devanagari class itself is exercised
-# --- by the extraction pipeline's golden tests) -------------------------------
+# --- P1+F1: content filter → empty-after-clean gate (h5_to_parquet.py:17-21,
+# --- 41-43; ASCII analog on the English `documents` table — the Devanagari
+# --- class itself is exercised by the extraction pipeline's golden tests).
+# --- One query covers both SURVEY §2 rows (r3 VERDICT #1 consolidation):
+# --- the P1 content-class strip projects `clean`, and the F1 gate drops
+# --- rows whose rare-class projection ([^qxz]) comes out empty — the
+# --- regex class the synthetic corpus makes non-vacuous. D1's first-wins
+# --- window lives on in dedup_exact_hash / dedup_url_canonical / entry().
 
-def p1_content_filter(spark, sf):
-    return t(spark, sf, "documents").select(
-        "doc_id",
-        F.trim(F.regexp_replace("text", "[^a-z ]+", "")).alias("clean"),
-    )
+def p1_content_gate(spark, sf):
+    gate = F.trim(F.regexp_replace("text", "[^qxz]+", ""))
+    return (t(spark, sf, "documents")
+            .select("doc_id",
+                    F.trim(F.regexp_replace("text", "[^a-z ]+", ""))
+                    .alias("clean"),
+                    gate.alias("gate"))
+            .filter(F.length("gate") > 0))
 
 
 P1_SQL = """
-SELECT doc_id, trim(regexp_replace(text, '[^a-z ]+', '', 'g')) AS clean
-FROM documents
-"""
-
-
-# --- F1: empty-after-clean filter (h5_to_parquet.py:41-43) --------------------
-
-def f1_empty_filter(spark, sf):
-    clean = F.trim(F.regexp_replace("text", "[^qxz]+", ""))
-    return (t(spark, sf, "documents")
-            .select("doc_id", clean.alias("clean"))
-            .filter(F.length("clean") > 0))
-
-
-F1_SQL = """
-SELECT doc_id, trim(regexp_replace(text, '[^qxz]+', '', 'g')) AS clean
+SELECT doc_id,
+       trim(regexp_replace(text, '[^a-z ]+', '', 'g')) AS clean,
+       trim(regexp_replace(text, '[^qxz]+', '', 'g')) AS gate
 FROM documents
 WHERE length(trim(regexp_replace(text, '[^qxz]+', '', 'g'))) > 0
-"""
-
-
-# --- D1: first-wins exact dedup (h5_to_parquet.py:27,45-48) -------------------
-
-def d1_dedup_first_wins(spark, sf):
-    # Partition the window by xxhash64(text) FIRST, full text second: the
-    # shuffle/sort comparisons short-circuit on the 8-byte hash instead of
-    # comparing whole documents; the text column stays in the key only as
-    # the collision tie-break, so the semantics are byte-exact.
-    w = Window.partitionBy(F.xxhash64("text"), "text") \
-              .orderBy(F.col("doc_id").asc())
-    return (t(spark, sf, "documents")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "text"))
-
-
-D1_SQL = """
-SELECT doc_id, text FROM (
-  SELECT doc_id, text,
-         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-  FROM documents) WHERE rn = 1
 """
 
 
@@ -129,38 +101,22 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
-# --- A1: grouped doc counts (h5_to_parquet.py:55-56 → lineage doc_count) ------
+# --- A1+A3: grouped doc counts + token sums (h5_to_parquet.py:55-56 lineage
+# --- doc_count; :107-142 the disabled tokenizer). One groupBy covers both
+# --- aggregate rows (r3 VERDICT #1 consolidation); A5's failure tallies are
+# --- the x2_lineage query itself (extract/pipeline.py lineage_rows). -----------
 
-def a1_group_count(spark, sf):
-    return (t(spark, sf, "documents").groupBy("source")
-            .agg(F.count("*").alias("doc_count")))
-
-
-A1_SQL = "SELECT source, count(*) AS doc_count FROM documents GROUP BY source"
-
-
-# --- A2: histogram (render_text.py:443-445 style sampling tally) --------------
-
-def a2_event_histogram(spark, sf):
-    return (t(spark, sf, "events").groupBy("event_type")
-            .agg(F.count("*").alias("n")))
-
-
-A2_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
-
-
-# --- A3: token-count sum (h5_to_parquet.py:107-142, the disabled tokenizer) ---
-
-def a3_token_sum(spark, sf):
+def a1_group_stats(spark, sf):
     ntok = F.when(F.trim(F.col("text")) == "", F.lit(0)) \
             .otherwise(F.size(F.split(F.trim(F.col("text")), " +")))
     return (t(spark, sf, "documents")
             .groupBy("source")
-            .agg(F.sum(ntok.cast("long")).alias("n_tokens")))
+            .agg(F.count("*").alias("doc_count"),
+                 F.sum(ntok.cast("long")).alias("n_tokens")))
 
 
-A3_SQL = """
-SELECT source,
+A1_SQL = """
+SELECT source, count(*) AS doc_count,
        sum(CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), ' +')) END)::BIGINT
          AS n_tokens
@@ -168,59 +124,25 @@ FROM documents GROUP BY source
 """
 
 
-# --- A5: failure tallies per partition (north_rule lineage analog) ------------
+# --- P3+P6: prompt/template projection + id formatting
+# --- (translate_bookcorpus.py:130-133, generate_dataset.py:37) — one
+# --- narrow projection covers both rows; O2's ORDER BY+LIMIT top-k is the
+# --- q3_top_revenue TakeOrderedAndProject. ------------------------------------
 
-def a5_failure_tally(spark, sf):
-    return (t(spark, sf, "events")
-            .filter(F.col("event_type") == "error")
-            .groupBy(F.pmod(F.col("user_id"), F.lit(16)).alias("part"))
-            .agg(F.count("*").alias("fail_count")))
-
-
-A5_SQL = """
-SELECT user_id % 16 AS part, count(*) AS fail_count
-FROM events WHERE event_type = 'error' GROUP BY user_id % 16
-"""
-
-
-# --- O2: limit / top-k (translate_bookcorpus.py:158-159) ----------------------
-
-def o2_topk(spark, sf):
-    return (t(spark, sf, "documents")
-            .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-            .select("doc_id", "n_chars").limit(10))
-
-
-O2_SQL = """
-SELECT doc_id, n_chars FROM documents
-ORDER BY n_chars DESC, doc_id ASC LIMIT 10
-"""
-
-
-# --- P3: prompt/template projection (translate_bookcorpus.py:130-133) ---------
-
-def p3_prompt_format(spark, sf):
+def p3_template_project(spark, sf):
     return t(spark, sf, "documents").select(
         "doc_id",
         F.concat(F.lit("Translate this passage: "),
                  F.substring("text", 1, 30)).alias("prompt"),
+        F.format_string("img_%04d.png", "doc_id").alias("img_name"),
     )
 
 
 P3_SQL = """
-SELECT doc_id, 'Translate this passage: ' || substr(text, 1, 30) AS prompt
+SELECT doc_id, 'Translate this passage: ' || substr(text, 1, 30) AS prompt,
+       printf('img_%04d.png', doc_id) AS img_name
 FROM documents
 """
-
-
-# --- P6: id formatting (generate_dataset.py:37) -------------------------------
-
-def p6_id_format(spark, sf):
-    return t(spark, sf, "documents").select(
-        "doc_id", F.format_string("img_%04d.png", "doc_id").alias("img_name"))
-
-
-P6_SQL = "SELECT doc_id, printf('img_%04d.png', doc_id) AS img_name FROM documents"
 
 
 # --- P7: monotonically increasing id (translate_bookcorpus.py:148-152) --------
@@ -365,25 +287,28 @@ ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 """
 
 
-# --- Broadcast dimension join (SURVEY §2.4 rebuild posture) -------------------
+# --- Broadcast dimension join (SURVEY §2.4 rebuild posture) + supplier-per-
+# --- nation stats (was g2_supplier_nation — folded, r3 VERDICT #1): the fact
+# --- side streams map-side past two broadcast dims, grouped at both dim
+# --- grains in one pass. ------------------------------------------------------
 
 def j_broadcast_dims(spark, sf):
     region = F.broadcast(t(spark, sf, "region"))
     nation = F.broadcast(t(spark, sf, "nation"))
-    cust = t(spark, sf, "customer")
-    return (cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    sup = t(spark, sf, "supplier")
+    return (sup.join(nation, sup.s_nationkey == nation.n_nationkey)
             .join(region, nation.n_regionkey == region.r_regionkey)
-            .groupBy("r_name")
-            .agg(F.count("*").alias("n_customers"),
-                 _dec_sum(F.col("c_acctbal"), "sum_acctbal")))
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 _dec_sum(F.col("s_acctbal"), "sum_acctbal")))
 
 
 JB_SQL = """
-SELECT r_name, count(*) AS n_customers,
-       sum(c_acctbal::DECIMAL(20,2))::DOUBLE AS sum_acctbal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
+SELECT r_name, n_name, count(*) AS n_suppliers,
+       sum(s_acctbal::DECIMAL(20,2))::DOUBLE AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
+GROUP BY r_name, n_name
 """
 
 
@@ -493,19 +418,46 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
-# --- Hourly rollup: date_trunc + grouped agg (SURVEY §2.12 date ops) ----------
+# --- E1: explicit GROUPING SETS over events — hourly rollup (date ops),
+# --- event-type histogram (was a2) and JSON-path dimension (was p8) in ONE
+# --- pass under one shuffle (Spark expands the sets into a union of partial
+# --- aggregates, same as SQL GROUP BY GROUPING SETS). Closes the r3
+# --- "explicit GROUPING SETS" gap; gid disambiguates the sets and keeps the
+# --- NULL-vs-sentinel distinction hashable. -----------------------------------
 
-def e1_hourly_rollup(spark, sf):
+def e1_event_sets(spark, sf):
     ev = t(spark, sf, "events")
-    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
-            .agg(F.count("*").alias("n"),
-                 _dec_sum(F.col("value"), "sum_value")))
+    hour = F.date_trunc("hour", "ts")
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = ev.select(hour.alias("hour_start"), "event_type",
+                     k.alias("k"), "value")
+    return (base.groupingSets(
+                [[F.col("hour_start")], [F.col("event_type")], [F.col("k")]],
+                F.col("hour_start"), F.col("event_type"), F.col("k"))
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n"),
+                 _dec_sum(F.col("value"), "sum_value"))
+            .select(F.coalesce(F.col("hour_start"),
+                               F.lit("1900-01-01").cast("timestamp"))
+                    .alias("hour_start"),
+                    F.coalesce(F.col("event_type"), F.lit("<ALL>"))
+                    .alias("event_type"),
+                    F.coalesce(F.col("k"), F.lit(-1)).alias("k"),
+                    "gid", "n", "sum_value"))
 
 
 E1_SQL = """
-SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
-       sum(value::DECIMAL(20,2))::DOUBLE AS sum_value
-FROM events GROUP BY date_trunc('hour', ts)
+SELECT coalesce(date_trunc('hour', ts), TIMESTAMP '1900-01-01')
+         AS hour_start,
+       coalesce(event_type, '<ALL>') AS event_type,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+       CAST(GROUPING(date_trunc('hour', ts), event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS gid,
+       count(*) AS n, sum(value::DECIMAL(20,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (event_type),
+                        (CAST(json_extract_string(props, '$.k') AS BIGINT)))
 """
 
 
@@ -534,23 +486,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-# --- R1: rollup (grouping-sets family; subtotals + grand total) ---------------
-
-def r1_event_rollup(spark, sf):
-    ev = t(spark, sf, "events")
-    return (ev.rollup("event_type")
-            .agg(F.count("*").alias("n"),
-                 _dec_sum(F.col("value"), "sum_value"))
-            .select(F.coalesce(F.col("event_type"), F.lit("<ALL>"))
-                    .alias("event_type"), "n", "sum_value"))
-
-
-R1_SQL = """
-SELECT coalesce(event_type, '<ALL>') AS event_type, count(*) AS n,
-       sum(value::DECIMAL(20,2))::DOUBLE AS sum_value
-FROM events GROUP BY ROLLUP(event_type)
-"""
-
+# --- R2: CUBE (grouping-sets family: CUBE here, ROLLUP ⊂ CUBE's set list,
+# --- explicit GROUPING SETS in e1_event_sets) ---------------------------------
 
 def r2_event_cube(spark, sf):
     """CUBE over (event_type, json k): every grouping-set combination in
@@ -582,23 +519,8 @@ GROUP BY CUBE(event_type, CAST(json_extract_string(props, '$.k') AS BIGINT))
 """
 
 
-# --- P8: JSON path extraction (lineage-payload shape, SURVEY §2.12) ----------
-
-def p8_json_extract(spark, sf):
-    ev = t(spark, sf, "events")
-    return (ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"))
-        .groupBy("k").agg(F.count("*").alias("n")))
-
-
-P8_SQL = """
-SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
-FROM events GROUP BY 1
-"""
-
-
-# --- G1/G2: remaining dimension tables (part, supplier) -----------------------
+# --- G1: part-dimension stats (JSON path extraction lives in e1_event_sets
+# --- and r2_event_cube; supplier-nation stats in j_broadcast_dims) ------------
 
 def g1_part_brand_stats(spark, sf):
     return (t(spark, sf, "part").groupBy("p_brand")
@@ -615,36 +537,24 @@ FROM part GROUP BY p_brand
 """
 
 
-def g2_supplier_nation(spark, sf):
-    sup = t(spark, sf, "supplier")
-    nation = F.broadcast(t(spark, sf, "nation"))
-    return (sup.join(nation, sup.s_nationkey == nation.n_nationkey)
-            .groupBy("n_name")
-            .agg(F.count("*").alias("n_suppliers"),
-                 _dec_sum(F.col("s_acctbal"), "sum_acctbal")))
-
-
-G2_SQL = """
-SELECT n_name, count(*) AS n_suppliers,
-       sum(s_acctbal::DECIMAL(20,2))::DOUBLE AS sum_acctbal
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-GROUP BY n_name
-"""
-
-
+# Consolidated registry (r3 VERDICT #1): every entry below gets a driver
+# CORRECTNESS row; the merged-away r3 names map as
+#   p1_content_filter + f1_empty_filter    → p1_content_gate
+#   d1_dedup_first_wins                    → dedup_exact_hash (+ entry())
+#   a1_group_count + a3_token_sum          → a1_group_stats
+#   a2_event_histogram + p8_json_extract
+#     + e1_hourly_rollup                   → e1_event_sets (GROUPING SETS)
+#   a5_failure_tally                       → x2_lineage (the real lineage op)
+#   o2_topk                                → q3_top_revenue (TakeOrdered)
+#   p3_prompt_format + p6_id_format        → p3_template_project
+#   r1_event_rollup                        → r2_event_cube (CUBE ⊃ ROLLUP)
+#   g2_supplier_nation                     → j_broadcast_dims
 QUERIES = {
-    "p1_content_filter": p1_content_filter,
-    "f1_empty_filter": f1_empty_filter,
-    "d1_dedup_first_wins": d1_dedup_first_wins,
+    "p1_content_gate": p1_content_gate,
     "j1_keyed_join": j1_keyed_join,
     "j3_resume_anti_join": j3_resume_anti_join,
-    "a1_group_count": a1_group_count,
-    "a2_event_histogram": a2_event_histogram,
-    "a3_token_sum": a3_token_sum,
-    "a5_failure_tally": a5_failure_tally,
-    "o2_topk": o2_topk,
-    "p3_prompt_format": p3_prompt_format,
-    "p6_id_format": p6_id_format,
+    "a1_group_stats": a1_group_stats,
+    "p3_template_project": p3_template_project,
     "p7_dense_id": p7_dense_id,
     "p5_danda_join": p5_danda_join,
     "q1_pricing_summary": q1_pricing_summary,
@@ -653,29 +563,19 @@ QUERIES = {
     "w1_top_event_per_user": w1_top_event_per_user,
     "w2_sessionize": w2_sessionize,
     "s1_except_custkeys": s1_except_custkeys,
-    "e1_hourly_rollup": e1_hourly_rollup,
-    "p8_json_extract": p8_json_extract,
+    "e1_event_sets": e1_event_sets,
     "g1_part_brand_stats": g1_part_brand_stats,
-    "g2_supplier_nation": g2_supplier_nation,
     "q6_revenue_delta": q6_revenue_delta,
     "w3_asof_join": w3_asof_join,
-    "r1_event_rollup": r1_event_rollup,
     "r2_event_cube": r2_event_cube,
 }
 
 ORACLES = {
-    "p1_content_filter": P1_SQL,
-    "f1_empty_filter": F1_SQL,
-    "d1_dedup_first_wins": D1_SQL,
+    "p1_content_gate": P1_SQL,
     "j1_keyed_join": J1_SQL,
     "j3_resume_anti_join": J3_SQL,
-    "a1_group_count": A1_SQL,
-    "a2_event_histogram": A2_SQL,
-    "a3_token_sum": A3_SQL,
-    "a5_failure_tally": A5_SQL,
-    "o2_topk": O2_SQL,
-    "p3_prompt_format": P3_SQL,
-    "p6_id_format": P6_SQL,
+    "a1_group_stats": A1_SQL,
+    "p3_template_project": P3_SQL,
     "p7_dense_id": P7_SQL,
     "p5_danda_join": P5_SQL,
     "q1_pricing_summary": Q1_SQL,
@@ -684,12 +584,9 @@ ORACLES = {
     "w1_top_event_per_user": W1_SQL,
     "w2_sessionize": W2_SQL,
     "s1_except_custkeys": S1_SQL,
-    "e1_hourly_rollup": E1_SQL,
-    "p8_json_extract": P8_SQL,
+    "e1_event_sets": E1_SQL,
     "g1_part_brand_stats": G1_SQL,
-    "g2_supplier_nation": G2_SQL,
     "q6_revenue_delta": Q6_SQL,
     "w3_asof_join": W3_SQL,
-    "r1_event_rollup": R1_SQL,
     "r2_event_cube": R2_SQL,
 }

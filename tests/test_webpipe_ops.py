@@ -268,18 +268,28 @@ def test_url_dedup_python_replay(spark):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     groups = {}
     for d in sorted(int(x) for x in docs["doc_id"]):
-        canon = f"https://crawl.example.com/p/{d % URL_DEDUP_PATHS}"
+        # replay the canonical form every planted variant collapses to:
+        # scheme/www/port/tracking/fragment noise cancels; d%2 and d%3 are
+        # invariant within a path group because URL_DEDUP_PATHS % 6 == 0
+        p = d % URL_DEDUP_PATHS
+        scheme = "https" if d % 2 == 0 else "http"
+        query = f"?id={p % 97}" if d % 3 in (0, 1) else ""
+        canon = f"{scheme}://news{p % 4}.example.com/Articles/{p}{query}"
         groups.setdefault(canon, []).append(d)
-    got = {r["canon"]: (r["keeper"], r["n_dups"])
+    got = {r["canon"]: (r["domain"], r["keeper"], r["n_dups"])
            for r in dedup_url_canonical(spark, SF).collect()}
-    assert got == {c: (min(ids), len(ids)) for c, ids in groups.items()}
-    assert max(n for _, n in got.values()) > 1, "non-vacuous"
+    want = {c: (f"news{(min(ids) % URL_DEDUP_PATHS) % 4}.example.com",
+                min(ids), len(ids))
+            for c, ids in groups.items()}
+    assert got == want
+    assert max(n for _, _, n in got.values()) > 1, "non-vacuous"
 
 
 def test_lm_score_python_replay(spark):
     import math
 
-    from sanskrit_ocr_spark.ops.textstats import ts_lm_score
+    from sanskrit_ocr_spark.ops.textstats import (
+        LM_OOV_COUNT, LM_TOP_K, ts_lm_score)
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     counts = {}
     toks_by_doc = {}
@@ -289,10 +299,15 @@ def test_lm_score_python_replay(spark):
         for w in ws:
             counts[w] = counts.get(w, 0) + 1
     total = sum(counts.values())
+    # the capped model: top-K unigrams (count desc, token asc), OOV floor
+    topk = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                [:LM_TOP_K])
+    assert len(counts) > LM_TOP_K, "cap must be exercised at this sf"
     got = {r["doc_id"]: (r["n_tokens"], r["avg_logp"])
            for r in ts_lm_score(spark, SF).collect()}
     for d, ws in toks_by_doc.items():
-        want = round(sum(math.log(counts[w] / total) for w in ws) / len(ws), 4)
+        want = round(sum(math.log(topk.get(w, LM_OOV_COUNT) / total)
+                         for w in ws) / len(ws), 4)
         n, avg = got[d]
         assert n == len(ws)
         assert abs(avg - want) <= 1e-4  # summation-order ulp at the boundary

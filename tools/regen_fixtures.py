@@ -63,7 +63,8 @@ def regen_driver_golden() -> None:
         q = entrymod.queries()
         for name, fname in [("x1_extract_pages", "golden_x1_500.parquet"),
                             ("x2_lineage", "golden_x2_500.parquet"),
-                            ("x3_curate_corpus", "golden_x3_500.parquet")]:
+                            ("x3_curate_corpus", "golden_x3_500.parquet"),
+                            ("x6_pipeline_curate", "golden_x6_500.parquet")]:
             pdf = q[name](spark, "unused-sf-dir").toPandas()
             out = os.path.join(FIXDIR, fname)
             pdf.to_parquet(out, index=False)
