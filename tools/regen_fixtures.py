@@ -52,6 +52,33 @@ def regen_kernel_golden() -> None:
     print(f"wrote {out} ({len(rows)} rows)")
 
 
+def regen_realhtml_golden() -> None:
+    """Golden outputs for the committed real-world-style HTML pages
+    (tests/fixtures/realhtml/*.html) — charset sniffing, markup recovery,
+    suppressed containers and the Devanagari content filter pinned beyond
+    the synthetic generator's distribution."""
+    from sanskrit_ocr_spark.kernels.page import extract_page
+
+    src = os.path.join(FIXDIR, "realhtml")
+    rows = []
+    for name in sorted(os.listdir(src)):
+        if not name.endswith(".html"):
+            continue
+        with open(os.path.join(src, name), "rb") as f:
+            t, sp, n, st = extract_page(f.read())
+        rows.append({
+            "file": name,
+            "text": t,
+            "sentences_json": json.dumps(
+                [{"start": a, "end": b} for a, b in sp]),
+            "n_graphemes": n,
+            "status": st,
+        })
+    out = os.path.join(FIXDIR, "golden_realhtml.parquet")
+    pd.DataFrame(rows).to_parquet(out, index=False)
+    print(f"wrote {out} ({len(rows)} rows)")
+
+
 def regen_driver_golden() -> None:
     from sanskrit_ocr_spark.conf import build_spark
     import __spark_entry__ as entrymod
@@ -92,4 +119,5 @@ def regen_driver_golden() -> None:
 
 if __name__ == "__main__":
     regen_kernel_golden()
+    regen_realhtml_golden()
     regen_driver_golden()
