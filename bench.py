@@ -109,6 +109,21 @@ def main() -> int:
         timings["extract_commit_e2e"] = round(e2e_dt, 3)
         e2e_docs_per_sec = round(n_extracted / e2e_dt, 1)
 
+        # incremental-merge probe (r3 VERDICT #7): re-submit the same
+        # pages against the now-committed table — every url resolves via
+        # the resume anti-join (inserts 0), so the committed-key scan +
+        # MERGE anti-join dominate. A/B the merge_prefilter_buckets
+        # shuffle guard on exactly that path; see BENCH/PLANS.md for the
+        # crossover discussion.
+        t0 = time.perf_counter()
+        run_extraction(spark, pages, e2e_root)
+        timings["merge_resubmit"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        run_extraction(spark, pages, e2e_root,
+                       merge_prefilter_buckets=1 << 20)
+        timings["merge_resubmit_prefilter"] = round(
+            time.perf_counter() - t0, 3)
+
         from sanskrit_ocr_spark.ops import dedup
 
         for name in headline:
