@@ -64,15 +64,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="semi-join-reduce the committed side of the MERGE "
                         "anti-join via a broadcast key-hash bucket set "
                         "(the 10^12-row shuffle guard; size >> batch keys)")
+    p.add_argument("--recrawl", action="store_true",
+                   help="re-crawl mode: re-extract EVERY input page and "
+                        "REPLACE older rows per url via the merge-on-read "
+                        "upsert (equality-delete files, O(batch) writes) "
+                        "instead of the insert-only resume MERGE")
     args = p.parse_args(argv)
-    if args.stream_warc and (args.partitioned
+    if args.stream_warc and (args.partitioned or args.recrawl
                              or args.salt_partitions is not None
                              or args.merge_prefilter_buckets is not None):
         # the streaming ingest commits through an unpartitioned table and
         # its own foreachBatch merge; silently ignoring these would make a
         # `--stream-warc --partitioned` run reopen the table under the
         # wrong layout (r3 ADVICE) — fail loudly instead
-        p.error("--stream-warc does not support --partitioned, "
+        p.error("--stream-warc does not support --partitioned, --recrawl, "
                 "--salt-partitions or --merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
@@ -107,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark, pages, args.root,
                 salt_partitions=args.salt_partitions,
                 partitioned=args.partitioned,
-                merge_prefilter_buckets=args.merge_prefilter_buckets)
+                merge_prefilter_buckets=args.merge_prefilter_buckets,
+                recrawl=args.recrawl)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)
@@ -128,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
         summary = {
             "snapshot_id": res["snapshot_id"],
             "inserted": res["inserted"],
+            **({"updated": res["updated"]} if "updated" in res else {}),
             "extracted_total": total,
             "distinct_urls": total,
             "fail_tallies": fail_tallies,

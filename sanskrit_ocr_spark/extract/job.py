@@ -67,18 +67,27 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    salt_partitions: int | None = None,
                    committed_at: datetime | None = None,
                    partitioned: bool = False,
-                   merge_prefilter_buckets: int | None = None) -> dict:
+                   merge_prefilter_buckets: int | None = None,
+                   recrawl: bool = False) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
     twice with the same input inserts nothing the second time.
     ``partitioned=True`` writes the north-rule physical layout
     (hive dirs warc_day × url-bucket → partition pruning on reads).
+
+    ``recrawl=True`` switches the commit from the insert-only resume MERGE
+    to the merge-on-read upsert: EVERY input page is re-extracted (no
+    resume anti-join — a re-crawl is new content under known urls) and
+    replaces any older row for its url via an equality-delete file —
+    O(batch) write amplification (``IceliteTable.merge_upsert_mor``). The
+    result gains an ``"updated"`` count.
     """
     ext = extracted_table(spark, root, partitioned=partitioned)
     lin = lineage_table(spark, root)
 
-    todo = pages.join(ext.read().select("url"), "url", "left_anti")
+    todo = pages if recrawl else \
+        pages.join(ext.read().select("url"), "url", "left_anti")
     extracted = extract_pages(todo, salt_partitions=salt_partitions)
     if partitioned:
         extracted = extracted.withColumn(
@@ -97,11 +106,22 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
 
     extracted = extracted.persist(StorageLevel.DISK_ONLY)
     try:
-        sid, inserted = ext.merge_on_key(
-            extracted, "url", order_col="warc_ts",
-            prefilter_buckets=merge_prefilter_buckets)
+        if recrawl:
+            before = ext.row_count()
+            sid, updated = ext.merge_upsert_mor(
+                extracted, "url", order_col="warc_ts")
+            after = ext.row_count()
+            inserted = (after - before
+                        if before is not None and after is not None else -1)
+        else:
+            sid, inserted = ext.merge_on_key(
+                extracted, "url", order_col="warc_ts",
+                prefilter_buckets=merge_prefilter_buckets)
         ts = committed_at or datetime.now(timezone.utc)
         lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
-        return {"snapshot_id": sid, "inserted": inserted}
+        res = {"snapshot_id": sid, "inserted": inserted}
+        if recrawl:
+            res["updated"] = updated
+        return res
     finally:
         extracted.unpersist()

@@ -340,3 +340,50 @@ def test_merge_toctou_interleaved_commit_cannot_duplicate_keys(spark, tmp_path):
     expected = (extract_pages(_pages(spark, 0, 200))
                 .select("url").distinct().count())
     assert final.count() == expected
+
+
+def test_recrawl_mode_replaces_rows_end_to_end(spark, tmp_path):
+    """--recrawl wires merge_upsert_mor through the real job: every input
+    page is re-extracted and replaces its url's older row via an
+    equality-delete file; untouched urls keep their rows; time travel
+    still shows the pre-recrawl snapshot."""
+    import pandas as pd
+
+    root = str(tmp_path / "recrawl")
+    run_extraction(spark, _pages(spark, 0, 100), root, committed_at=TS)
+    t = extracted_table(spark, root)
+    old = {r["url"]: r["text"] for r in t.read().collect()}
+
+    # re-crawl of the first 30 pages: same urls, NEW html + newer warc_ts.
+    # The spliced paragraph is long enough that the jusText-style block
+    # classifier keeps it as content (a short stub would be boilerplate).
+    marker = "नया संस्करण उपलब्ध"
+    para = ("नया संस्करण उपलब्ध है और यह पृष्ठ पूरी तरह से अद्यतन किया"
+            " गया है। इस संस्करण में अनेक सुधार तथा नवीन सामग्री"
+            " सम्मिलित की गयी है।")
+    pdf = pages_pandas(0, 30)
+    pdf["html"] = pdf["html"].map(
+        lambda b: b.replace(b"</body>",
+                            f"<p>{para}</p></body>".encode("utf-8")))
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]) + pd.Timedelta(days=30)
+    re_pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    n_urls = re_pages.select("url").distinct().count()
+
+    res = run_extraction(spark, re_pages, root, committed_at=TS,
+                         recrawl=True)
+    assert res["updated"] == n_urls  # every re-crawled url already existed
+    assert res["inserted"] == 0      # net row count unchanged
+
+    new = {r["url"]: r["text"] for r in t.read().collect()}
+    assert len(new) == len(old)
+    recrawled = {r["url"] for r in re_pages.select("url").collect()}
+    # most re-crawled pages pick up the marker (PDF/decode-fail rows keep
+    # their payload shape — the </body> splice is a no-op there)
+    hits = sum(1 for u in recrawled if marker in new[u])
+    assert hits >= 0.7 * n_urls
+    # untouched urls byte-identical
+    for u in set(old) - recrawled:
+        assert new[u] == old[u]
+    # time travel: the pre-recrawl snapshot still shows the old texts
+    at1 = {r["url"]: r["text"] for r in t.read(snapshot_id=1).collect()}
+    assert at1 == old
