@@ -167,3 +167,45 @@ def test_legacy_partitioned_layout_read_and_migration(spark, tmp_path):
     plan = _plan(full)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Union" not in plan
+
+
+def test_icelite_reads_push_filters_to_parquet(spark, tmp_path):
+    """Predicate pushdown survives every icelite read path: data-column
+    filters reach the parquet scan (PushedFilters) on unpartitioned,
+    partitioned AND merge-on-read layouts — the row-group-skipping
+    contract a 100 TB scan lives on."""
+    import re
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    def pushed(df):
+        plan = _plan(df)
+        m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        return [x for x in m if x.strip()]
+
+    # unpartitioned
+    t = IceliteTable(spark, str(tmp_path / "push_u"),
+                     StructType([StructField("url", StringType(), False),
+                                 StructField("text", StringType(), False)]))
+    t.append(spark.createDataFrame(
+        [(f"u{i}", f"t{i}") for i in range(50)], "url string, text string"))
+    assert pushed(t.read().filter(F.col("url") == "u7"))
+
+    # partitioned (shared-basePath layout): data filter pushed AND
+    # partition filter pruning
+    tp = IceliteTable(spark, str(tmp_path / "push_p"), LAYOUT_SCHEMA,
+                      partition_cols=["warc_day", "bucket"])
+    tp.append(_layout_df(spark, 0, 100))
+    q = tp.read().filter((F.col("bucket") == 3)
+                         & (F.col("n_graphemes") > 10))
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert pushed(q)
+
+    # merge-on-read: the anti-join must not swallow the scan filter
+    t.merge_upsert_mor(spark.createDataFrame(
+        [("u7", "t7-v2")], "url string, text string"), "url")
+    q2 = t.read().filter(F.col("url") == "u7")
+    assert pushed(q2)
+    assert [r["text"] for r in q2.collect()] == ["t7-v2"]
