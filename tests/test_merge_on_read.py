@@ -184,3 +184,47 @@ def test_mor_remove_orphans_keeps_delete_files(spark, tmp_path):
     assert os.path.normpath(del_dir) not in removed
     assert os.path.isdir(del_dir)
     assert t.read().count() == 30
+
+
+def test_concurrent_mor_upserts_from_threads(spark, tmp_path):
+    """Two threads running merge_upsert_mor concurrently (overlapping the
+    base, disjoint from each other): the CAS at the captured parent makes
+    the loser retry, and the final view holds exactly one row per url
+    with the right winning version."""
+    import threading
+
+    t = _table(spark, tmp_path, "mor_threads")
+    t.merge_on_key(_batch(spark, 0, 100, "v1"), "url", order_col="warc_ts")
+
+    inputs = [_batch(spark, 0, 30, "vA", day=2).cache(),
+              _batch(spark, 50, 80, "vB", day=2).cache()]
+    for df in inputs:
+        df.count()
+    barrier = threading.Barrier(2)
+    results, errors = [None, None], [None, None]
+
+    def worker(i):
+        try:
+            barrier.wait()
+            results[i] = t.merge_upsert_mor(inputs[i], "url",
+                                            order_col="warc_ts")
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for df in inputs:
+        df.unpersist()
+
+    assert errors == [None, None]
+    assert sorted(r[1] for r in results) == [30, 30]  # each replaced 30
+    out = t.read()
+    assert out.count() == 100
+    assert out.select("url").distinct().count() == 100
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    assert texts["https://ex.org/10"] == "vA-10"
+    assert texts["https://ex.org/60"] == "vB-60"
+    assert texts["https://ex.org/40"] == "v1-40"
