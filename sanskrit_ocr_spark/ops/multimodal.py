@@ -104,8 +104,21 @@ def feature_extract(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
         body, schema=f"{id_col} long, width int, height int, mean_luma double")
 
 
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition the (small-bytes, expensive-per-row) input across the
+    cluster before the render/decode UDF stages: the documents table is a
+    handful of parquet splits, so without this every page renders inside
+    one or two tasks regardless of core count (the same lesson as the
+    extraction pipeline's salt_partitions — spread BEFORE the expensive
+    map, not after). Output sets are order-insensitive, so the shuffle
+    changes no pinned value; measured 3.5s → ~1s for mm_feature_extract
+    at sf0.1 on local[32] (BENCH/PLANS.md r4)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return docs.repartition(n)
+
 def mm_feature_extract(spark, sf):
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = _spread(t(spark, sf, "documents").select("doc_id", "text"))
     return feature_extract(render_page_images(docs, "text", "doc_id"),
                            "image", "doc_id")
 
@@ -149,7 +162,7 @@ def resize(df: DataFrame, binary_col: str, id_col: str,
 
 
 def mm_resize(spark, sf):
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = _spread(t(spark, sf, "documents").select("doc_id", "text"))
     thumbs = resize(render_page_images(docs, "text", "doc_id"),
                     "image", "doc_id")
     # decoded-pixel digest: driver-hashable AND zlib-build-independent
@@ -211,7 +224,7 @@ def render_clips(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def mm_frame_sample(spark, sf):
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = _spread(t(spark, sf, "documents").select("doc_id", "text"))
     sampled = frame_sample(render_clips(docs, "text", "doc_id"),
                            "clip", "doc_id")
     return sampled.select("doc_id", "frame_idx", "width", "height",
@@ -273,7 +286,7 @@ def mm_phash_dedup(spark, sf):
     shuffle on an 8-byte table key → bounded verify; never all-pairs."""
     from sanskrit_ocr_spark.ops.dedup import hamming_candidates
 
-    docs = t(spark, sf, "documents").select("doc_id", "text")
+    docs = _spread(t(spark, sf, "documents").select("doc_id", "text"))
     imgs = render_page_images(docs, "text", "doc_id")
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
