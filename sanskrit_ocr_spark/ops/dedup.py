@@ -333,7 +333,12 @@ def simhash_df(docs: DataFrame) -> DataFrame:
                                     dtype="int64"),
             })
 
-    return (docs.select("doc_id", "text")
+    # spread the tiny-bytes/expensive-per-row input before the Python
+    # stage — a bench-scale documents table is ONE scan split, which
+    # would serialize every simhash into a single task (same lesson as
+    # extraction's salt_partitions / ops.multimodal._spread)
+    n = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return (docs.select("doc_id", "text").repartition(n)
             .mapInPandas(body, schema="doc_id long, simhash long"))
 
 
