@@ -70,14 +70,14 @@ def main(argv: list[str] | None = None) -> int:
                         "upsert (equality-delete files, O(batch) writes) "
                         "instead of the insert-only resume MERGE")
     args = p.parse_args(argv)
-    if args.stream_warc and (args.partitioned or args.recrawl
+    if args.stream_warc and (args.partitioned
                              or args.salt_partitions is not None
                              or args.merge_prefilter_buckets is not None):
         # the streaming ingest commits through an unpartitioned table and
         # its own foreachBatch merge; silently ignoring these would make a
         # `--stream-warc --partitioned` run reopen the table under the
         # wrong layout (r3 ADVICE) — fail loudly instead
-        p.error("--stream-warc does not support --partitioned, --recrawl, "
+        p.error("--stream-warc does not support --partitioned, "
                 "--salt-partitions or --merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
@@ -93,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
             before = ext_t.row_count() or 0
             ckpt = args.checkpoint or f"{args.root}/_checkpoint"
             q = start_warc_ingest(spark, args.stream_warc, args.root, ckpt,
-                                  available_now=True)
+                                  available_now=True,
+                                  recrawl=args.recrawl)
             q.awaitTermination()
             res = {"snapshot_id": ext_t.snapshot_id(),
                    "inserted": (ext_t.row_count() or 0) - before}

@@ -35,23 +35,28 @@ from sanskrit_ocr_spark.extract.pipeline import (
 
 def start_ingest(spark: SparkSession, pages_dir: str, root: str,
                  checkpoint_dir: str, max_files_per_trigger: int = 16,
-                 available_now: bool = False):
+                 available_now: bool = False, recrawl: bool = False):
     """Start the streaming extraction job; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``pages_dir`` and
     stops (used by tests and backfills); otherwise runs continuously.
+    ``recrawl=True`` commits each micro-batch through the merge-on-read
+    upsert instead of the insert-only MERGE: re-landed urls REPLACE their
+    older rows (last-batch-wins, like the batch CLI's ``--recrawl``), and
+    at-least-once redelivery stays harmless because replaying a batch
+    re-upserts identical content under the same keys.
     """
     stream = (spark.readStream
               .schema(PAGES_INPUT_SCHEMA)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(pages_dir))
     return _start_extract_stream(spark, stream, root, checkpoint_dir,
-                                 available_now)
+                                 available_now, recrawl)
 
 
 def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                       checkpoint_dir: str, max_files_per_trigger: int = 16,
-                      available_now: bool = False):
+                      available_now: bool = False, recrawl: bool = False):
     """Streaming extraction straight off a WARC segment landing directory
     — the end-to-end continuous Common-Crawl shape: ``stream_warc``
     (binaryFile source + member-walking records stage) → the SAME
@@ -66,11 +71,12 @@ def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                            max_files_per_trigger=max_files_per_trigger)
                .filter(F.col("url").isNotNull()))
     return _start_extract_stream(spark, records, root, checkpoint_dir,
-                                 available_now)
+                                 available_now, recrawl)
 
 
 def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
-                          checkpoint_dir: str, available_now: bool):
+                          checkpoint_dir: str, available_now: bool,
+                          recrawl: bool = False):
     ext = extracted_table(spark, root)
     lin = lineage_table(spark, root)
 
@@ -84,8 +90,12 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
 
         batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
         try:
-            sid, inserted = ext.merge_on_key(batch_df, "url",
-                                             order_col="warc_ts")
+            if recrawl:
+                sid, _ = ext.merge_upsert_mor(batch_df, "url",
+                                              order_col="warc_ts")
+            else:
+                sid, _ = ext.merge_on_key(batch_df, "url",
+                                          order_col="warc_ts")
             lin.append(lineage_rows(
                 batch_df, snapshot_id=sid,
                 committed_at=datetime.now(timezone.utc)))

@@ -15,7 +15,6 @@ from sanskrit_ocr_spark.extract.__main__ import main
      "--salt-partitions", "8"],
     ["--stream-warc", "/tmp/x", "--root", "/tmp/y",
      "--merge-prefilter-buckets", "1024"],
-    ["--stream-warc", "/tmp/x", "--root", "/tmp/y", "--recrawl"],
     # --checkpoint without --stream-warc is meaningless
     ["--rows", "10", "--root", "/tmp/y", "--checkpoint", "/tmp/c"],
     # pre-existing guards still hold

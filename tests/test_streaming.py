@@ -121,3 +121,50 @@ def test_warc_stream_ingest_incremental(spark, tmp_path):
     t = extracted_table(spark, root).read()
     assert t.count() > n1
     assert t.select("url").distinct().count() == t.count()
+
+
+def test_warc_stream_recrawl_replaces_rows(spark, tmp_path):
+    """Streaming re-crawl: a second drain over segments carrying the SAME
+    urls with NEW content replaces rows through the merge-on-read upsert
+    (foreachBatch → merge_upsert_mor) instead of skipping them."""
+    from sanskrit_ocr_spark.sources.warclite import write_warc
+    from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+
+    warc_dir = _write_warc_segments(tmp_path, "warc3", 0, 60)
+    root = str(tmp_path / "wout3")
+    q = start_warc_ingest(spark, warc_dir, root,
+                          str(tmp_path / "wckpt3"), available_now=True)
+    q.awaitTermination(300)
+    t = extracted_table(spark, root)
+    n1 = t.read().count()
+    old = {r["url"]: r["text"] for r in t.read().collect()}
+
+    # re-crawl segments: same urls, spliced new content, newer timestamps
+    import pandas as pd
+
+    from sanskrit_ocr_spark.datagen.pages import pages_pandas
+    para = ("नया संस्करण उपलब्ध है और यह पृष्ठ पूरी तरह से अद्यतन किया"
+            " गया है। इस संस्करण में अनेक सुधार तथा नवीन सामग्री"
+            " सम्मिलित की गयी है।")
+    pdf = pages_pandas(0, 30)
+    pdf["html"] = pdf["html"].map(
+        lambda b: b.replace(b"</body>",
+                            f"<p>{para}</p></body>".encode("utf-8")))
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]) + pd.Timedelta(days=30)
+    write_warc(str(tmp_path / "warc3" / "seg-recrawl-00000.warc.gz"),
+               [(r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+                for _, r in pdf.iterrows()])
+
+    q = start_warc_ingest(spark, warc_dir, root,
+                          str(tmp_path / "wckpt3"), available_now=True,
+                          recrawl=True)
+    q.awaitTermination(300)
+
+    out = t.read()
+    assert out.count() == n1  # replacements, not inserts
+    assert out.select("url").distinct().count() == n1
+    new = {r["url"]: r["text"] for r in out.collect()}
+    changed = sum(1 for u in new if new[u] != old[u])
+    assert changed >= 20  # most of the 30 re-crawled pages updated
+    hit = sum(1 for u in new if "नया संस्करण" in new[u])
+    assert hit >= 20
