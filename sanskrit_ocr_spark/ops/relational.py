@@ -401,6 +401,72 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+# --- W4: range (interval-containment) join — custom operator ------------------
+
+RANGE_GRANULE_MIN = 30   # granule width (minutes)
+RANGE_WINDOW_MIN = 90    # maintenance-window length
+RANGE_WINDOW_STEP_H = 6  # window every 6 hours
+RANGE_N_WINDOWS = 120    # 30 days of windows over the events month
+
+
+def _range_windows(spark):
+    """Deterministic maintenance-window intervals over the events month:
+    window k = [2024-01-01 + k·6h, +90min) — inside the events month."""
+    return (spark.range(RANGE_N_WINDOWS)
+            .select(F.col("id").alias("window_id"),
+                    F.timestamp_seconds(
+                        F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                        + F.col("id") * (RANGE_WINDOW_STEP_H * 3600))
+                    .alias("w_start"))
+            .withColumn("w_end", F.col("w_start")
+                        + F.expr(f"INTERVAL {RANGE_WINDOW_MIN} MINUTES")))
+
+
+def w4_range_join(spark, sf):
+    """Interval-containment (range) join — Spark has no native range-join
+    operator, and the naive ``events JOIN windows ON ts BETWEEN s AND e``
+    plans as a BroadcastNestedLoopJoin (all-pairs — quadratic at scale).
+    Scale-safe shape: quantize time into fixed granules, explode each
+    interval to the granules it spans (bounded: window/granule rows),
+    equi-join on the granule (a hash shuffle key), then apply the exact
+    containment predicate. An event lives in exactly one granule, so no
+    dedup pass is needed. The DuckDB oracle is the naive theta join —
+    independent implementation, same semantics. (The same layout is how
+    production engines execute range joins: Databricks' range-join
+    binning optimization, DuckDB's IEJoin.)"""
+    g = RANGE_GRANULE_MIN * 60
+    win = _range_windows(spark)
+    win_g = win.withColumn(
+        "granule",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp("w_start") / g),
+            # end-exclusive: a window ending ON a granule boundary does
+            # not reach into that granule
+            F.floor((F.unix_timestamp("w_end") - 1) / g))))
+    ev = (t(spark, sf, "events")
+          .select("event_id", "ts",
+                  F.floor(F.unix_timestamp("ts") / g).alias("granule")))
+    return (ev.join(win_g, "granule")
+            .filter((F.col("ts") >= F.col("w_start"))
+                    & (F.col("ts") < F.col("w_end")))
+            .select("event_id", "ts", "window_id", "w_start"))
+
+
+W4_SQL = f"""
+WITH win AS (
+  SELECT k AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + k * INTERVAL {RANGE_WINDOW_STEP_H} HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + k * INTERVAL {RANGE_WINDOW_STEP_H} HOUR
+           + INTERVAL {RANGE_WINDOW_MIN} MINUTE AS w_end
+  FROM (SELECT unnest(generate_series(0, {RANGE_N_WINDOWS - 1})) AS k)
+)
+SELECT event_id, ts, window_id, w_start
+FROM events JOIN win ON ts >= w_start AND ts < w_end
+"""
+
+
 # --- Set op: EXCEPT (SURVEY §2.9 — the anti-join-shaped set op) ----------------
 
 def s1_except_custkeys(spark, sf):
@@ -589,4 +655,10 @@ ORACLES = {
     "q6_revenue_delta": Q6_SQL,
     "w3_asof_join": W3_SQL,
     "r2_event_cube": R2_SQL,
+}
+
+# Capability ops outside the 50-entry driver window — pytest-only oracle
+# (tests/test_legacy_oracles.py, same comparison discipline as the driver).
+EXTRA_ORACLES = {
+    w4_range_join: W4_SQL,
 }
