@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
                           "Streaming (availableNow) through the same "
                           "extract + MERGE path, tracking progress in "
                           "--checkpoint; re-runs pick up only new segments")
+    src.add_argument("--maintain", action="store_true",
+                     help="run table maintenance on ROOT instead of "
+                          "ingesting: compact the extracted table to "
+                          "--compact-partitions files, expire snapshots "
+                          "beyond --expire-keep, and remove orphaned "
+                          "data directories")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir for --stream-warc "
                         "(default: ROOT/_checkpoint)")
@@ -64,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="semi-join-reduce the committed side of the MERGE "
                         "anti-join via a broadcast key-hash bucket set "
                         "(the 10^12-row shuffle guard; size >> batch keys)")
+    p.add_argument("--compact-partitions", type=int, default=8,
+                   help="target file count for --maintain compaction")
+    p.add_argument("--expire-keep", type=int, default=2,
+                   help="snapshots to retain in --maintain expiry")
     p.add_argument("--recrawl", action="store_true",
                    help="re-crawl mode: re-extract EVERY input page and "
                         "REPLACE older rows per url via the merge-on-read "
@@ -81,12 +91,37 @@ def main(argv: list[str] | None = None) -> int:
                 "--salt-partitions or --merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
+    if args.maintain and (args.recrawl or args.partitioned
+                          or args.curate_dest or args.wet_dest
+                          or args.salt_partitions is not None
+                          or args.merge_prefilter_buckets is not None):
+        p.error("--maintain takes only --root (+ --compact-partitions / "
+                "--expire-keep / --master / --shuffle-partitions)")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
 
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)
     try:
+        if args.maintain:
+            # lifecycle maintenance (Iceberg's rewrite_data_files /
+            # expire_snapshots / remove_orphan_files): compaction also
+            # APPLIES any pending merge-on-read equality deletes, so a
+            # re-crawl-heavy table returns to the single-scan read path
+            ext_t = extracted_table(spark, args.root)
+            n_before = len(ext_t.committed_files())
+            sid = ext_t.compact(target_partitions=args.compact_partitions)
+            expired = ext_t.expire_snapshots(keep_last=args.expire_keep)
+            orphans = ext_t.remove_orphans()
+            print(json.dumps({
+                "snapshot_id": sid,
+                "files_before": n_before,
+                "files_after": len(ext_t.committed_files()),
+                "expired_snapshots": len(expired),
+                "orphans_removed": len(orphans),
+                "rows": ext_t.row_count() or ext_t.read().count(),
+            }))
+            return 0
         if args.stream_warc:
             from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
             ext_t = extracted_table(spark, args.root)

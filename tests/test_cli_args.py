@@ -17,6 +17,10 @@ from sanskrit_ocr_spark.extract.__main__ import main
      "--merge-prefilter-buckets", "1024"],
     # --checkpoint without --stream-warc is meaningless
     ["--rows", "10", "--root", "/tmp/y", "--checkpoint", "/tmp/c"],
+    # --maintain is exclusive with ingestion sources and their tuning
+    ["--maintain", "--rows", "10", "--root", "/tmp/y"],
+    ["--maintain", "--root", "/tmp/y", "--recrawl"],
+    ["--maintain", "--root", "/tmp/y", "--curate-dest", "/tmp/c"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],
