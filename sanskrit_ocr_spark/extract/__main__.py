@@ -91,12 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                 "--salt-partitions or --merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
-    if args.maintain and (args.recrawl or args.partitioned
+    if args.maintain and (args.recrawl
                           or args.curate_dest or args.wet_dest
                           or args.salt_partitions is not None
                           or args.merge_prefilter_buckets is not None):
-        p.error("--maintain takes only --root (+ --compact-partitions / "
-                "--expire-keep / --master / --shuffle-partitions)")
+        p.error("--maintain takes only --root and --partitioned "
+                "(+ --compact-partitions / --expire-keep / --master / "
+                "--shuffle-partitions)")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
 
@@ -108,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
             # expire_snapshots / remove_orphan_files): compaction also
             # APPLIES any pending merge-on-read equality deletes, so a
             # re-crawl-heavy table returns to the single-scan read path
-            ext_t = extracted_table(spark, args.root)
+            ext_t = extracted_table(spark, args.root,
+                                    partitioned=args.partitioned)
             n_before = len(ext_t.committed_files())
             sid = ext_t.compact(target_partitions=args.compact_partitions)
             expired = ext_t.expire_snapshots(keep_last=args.expire_keep)

@@ -20,6 +20,7 @@ from sanskrit_ocr_spark.extract.__main__ import main
     # --maintain is exclusive with ingestion sources and their tuning
     ["--maintain", "--rows", "10", "--root", "/tmp/y"],
     ["--maintain", "--root", "/tmp/y", "--recrawl"],
+    ["--maintain", "--root", "/tmp/y", "--wet-dest", "/tmp/w"],
     ["--maintain", "--root", "/tmp/y", "--curate-dest", "/tmp/c"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],

@@ -67,7 +67,11 @@ def test_warc_partial_corruption_keeps_valid_prefix(spark, tmp_path):
     # truncate the final gzip member mid-stream: valid members decode,
     # then the decompressor hits EOF-inside-member
     data = seg.read_bytes()
-    seg.write_bytes(data[:-30] + os.urandom(10))
+    # plain truncation — the decompressor hits EOF inside the final
+    # member. (This used to append os.urandom junk, which CONTINUES the
+    # deflate bitstream and occasionally decoded into a parseable
+    # garbage record: a ~1/200 flake. EOF-mid-member is deterministic.)
+    seg.write_bytes(data[:-30])
     df = read_warc(spark, str(tmp_path)).toPandas()
     # 19 intact records survive; the corrupt tail is 1-2 NULL rows (the
     # truncated member, possibly one garbage-resync stop), never a wipeout
