@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -100,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--shuffle-partitions)")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
+    if args.recrawl and args.merge_prefilter_buckets is not None:
+        # the merge-on-read upsert has no anti-join to prefilter — reject
+        # rather than silently dropping an explicitly requested guard
+        p.error("--merge-prefilter-buckets applies to the insert-only "
+                "MERGE, not --recrawl")
 
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)
@@ -108,7 +114,19 @@ def main(argv: list[str] | None = None) -> int:
             # lifecycle maintenance (Iceberg's rewrite_data_files /
             # expire_snapshots / remove_orphan_files): compaction also
             # APPLIES any pending merge-on-read equality deletes, so a
-            # re-crawl-heavy table returns to the single-scan read path
+            # re-crawl-heavy table returns to the single-scan read path.
+            # Guard the layout flag against the on-disk naming: compacting
+            # a hive-partitioned table under an unpartitioned handle would
+            # seal the wrong schema and rewrite away the partition dirs.
+            data_dir = os.path.join(args.root, "extracted", "data")
+            on_disk_partitioned = os.path.isdir(data_dir) and any(
+                name.startswith("__commit=")
+                for name in os.listdir(data_dir))
+            if on_disk_partitioned and not args.partitioned:
+                print("error: table at --root uses the partitioned layout;"
+                      " re-run --maintain with --partitioned",
+                      file=sys.stderr)
+                return 2
             ext_t = extracted_table(spark, args.root,
                                     partitioned=args.partitioned)
             n_before = len(ext_t.committed_files())

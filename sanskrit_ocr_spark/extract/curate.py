@@ -60,7 +60,9 @@ def write_corpus(corpus: DataFrame, dest: str,
         F.sum("n_graphemes").alias("graphemes"),
         F.sum("n_sentences").alias("sentences"))
     observed.write.mode("overwrite").parquet(f"{dest}/corpus")
-    stats = {k: int(v) for k, v in obs.get.items()}
+    # sum metrics come back None on a zero-row write (an empty
+    # curated slice is normal for non-Devanagari crawl batches)
+    stats = {k: int(v or 0) for k, v in obs.get.items()}
     if captions:
         (corpus.sparkSession.read.parquet(f"{dest}/corpus")
          .select("url", "text")

@@ -333,12 +333,12 @@ def simhash_df(docs: DataFrame) -> DataFrame:
                                     dtype="int64"),
             })
 
+    from sanskrit_ocr_spark.ops.util import spread
+
     # spread the tiny-bytes/expensive-per-row input before the Python
-    # stage — a bench-scale documents table is ONE scan split, which
-    # would serialize every simhash into a single task (same lesson as
-    # extraction's salt_partitions / ops.multimodal._spread)
-    n = docs.sparkSession.sparkContext.defaultParallelism * 2
-    return (docs.select("doc_id", "text").repartition(n)
+    # stage (see ops.util.spread — one scan split would serialize every
+    # simhash into a single task)
+    return (spread(docs.select("doc_id", "text"))
             .mapInPandas(body, schema="doc_id long, simhash long"))
 
 

@@ -41,6 +41,7 @@ from sanskrit_ocr_spark.datagen.images import (
 )
 from sanskrit_ocr_spark.kernels.png import decode_png, encode_png
 from sanskrit_ocr_spark.ops.relational import t
+from sanskrit_ocr_spark.ops.util import spread as _spread
 
 
 # --- oracle-checkable byte metadata ----------------------------------------------
@@ -104,18 +105,6 @@ def feature_extract(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
         body, schema=f"{id_col} long, width int, height int, mean_luma double")
 
 
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition the (small-bytes, expensive-per-row) input across the
-    cluster before the render/decode UDF stages: the documents table is a
-    handful of parquet splits, so without this every page renders inside
-    one or two tasks regardless of core count (the same lesson as the
-    extraction pipeline's salt_partitions — spread BEFORE the expensive
-    map, not after). Output sets are order-insensitive, so the shuffle
-    changes no pinned value; measured 3.5s → ~1s for mm_feature_extract
-    at sf0.1 on local[32] (BENCH/PLANS.md r4)."""
-    n = docs.sparkSession.sparkContext.defaultParallelism * 2
-    return docs.repartition(n)
 
 def mm_feature_extract(spark, sf):
     docs = _spread(t(spark, sf, "documents").select("doc_id", "text"))

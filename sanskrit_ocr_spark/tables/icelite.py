@@ -250,6 +250,8 @@ class IceliteTable:
             # single-scan path.
             parts = []
             for csid, gfiles in groups:
+                if not gfiles:
+                    continue  # metadata-only commit (schema evolution)
                 if self.partition_cols:
                     sub = [self.spark.read.schema(schema)
                            .option("basePath", f).parquet(f) for f in gfiles]
@@ -424,6 +426,20 @@ class IceliteTable:
         self._commit_manifest(sid, manifest)
         return sid
 
+    @staticmethod
+    def _first_wins(df: DataFrame, key: str,
+                    order_col: str | None) -> DataFrame:
+        """Within-batch duplicate-key resolution shared by every merge
+        arm: deterministic first-wins by ``order_col`` (hash-first window
+        key — 8-byte shuffle comparisons, the key column retained for
+        collision safety), else ``dropDuplicates``."""
+        if not order_col:
+            return df.dropDuplicates([key])
+        w = Window.partitionBy(F.xxhash64(key), key) \
+                  .orderBy(F.col(order_col).asc(), F.col(key).asc())
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None,
                      prefilter_buckets: int | None = None) -> tuple[int, int]:
@@ -466,15 +482,7 @@ class IceliteTable:
         """
         from pyspark.sql import Observation
 
-        if order_col:
-            # hash-first window key (cheap 8-byte comparisons; the key
-            # column itself remains in the partition for collision safety)
-            w = Window.partitionBy(F.xxhash64(key), key) \
-                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
-            df = (df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn"))
-        else:
-            df = df.dropDuplicates([key])
+        df = self._first_wins(df, key, order_col)
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             parent = self.snapshot_id()
@@ -528,13 +536,7 @@ class IceliteTable:
         """
         from pyspark.sql import Observation
 
-        if order_col:
-            w = Window.partitionBy(F.xxhash64(key), key) \
-                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
-            df = (df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn"))
-        else:
-            df = df.dropDuplicates([key])
+        df = self._first_wins(df, key, order_col)
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             prev_total = self.row_count()
@@ -585,21 +587,25 @@ class IceliteTable:
         parent snapshot's key column — no rewrite). Within-batch duplicate
         keys resolve first-wins by ``order_col`` exactly as merge_on_key;
         commits are CAS'd at the captured parent snapshot."""
+        df = self._first_wins(df, key, order_col)
+        # the batch's distinct keys feed the updated-count semi-join AND
+        # the equality-delete file: persist so the distinct runs once per
+        # merge, not once per consumer (and once per CAS retry otherwise)
+        keys = df.select(key).distinct().persist()
+        try:
+            return self._merge_upsert_mor_loop(df, keys, key)
+        finally:
+            keys.unpersist()
+
+    def _merge_upsert_mor_loop(self, df: DataFrame, keys: DataFrame,
+                               key: str) -> tuple[int, int]:
         from pyspark.sql import Observation
 
-        if order_col:
-            w = Window.partitionBy(F.xxhash64(key), key) \
-                      .orderBy(F.col(order_col).asc(), F.col(key).asc())
-            df = (df.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn"))
-        else:
-            df = df.dropDuplicates([key])
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             parent = self.snapshot_id()
             sid = parent + 1
             prev_total = self._total_rows_at(parent)
-            keys = df.select(key).distinct()
             updated = (self.read(parent).select(key)
                        .join(keys, key, "left_semi").count()) if parent else 0
             obs = Observation()

@@ -17,6 +17,9 @@ from sanskrit_ocr_spark.extract.__main__ import main
      "--merge-prefilter-buckets", "1024"],
     # --checkpoint without --stream-warc is meaningless
     ["--rows", "10", "--root", "/tmp/y", "--checkpoint", "/tmp/c"],
+    # the MOR upsert has no anti-join to prefilter
+    ["--rows", "10", "--root", "/tmp/y", "--recrawl",
+     "--merge-prefilter-buckets", "1024"],
     # --maintain is exclusive with ingestion sources and their tuning
     ["--maintain", "--rows", "10", "--root", "/tmp/y"],
     ["--maintain", "--root", "/tmp/y", "--recrawl"],

@@ -75,3 +75,14 @@ def test_write_corpus_evaluates_curation_dag_once(spark, tmp_path):
     assert acc.value == stats["docs"]
     caps = spark.read.json(str(tmp_path / "once_out" / "captions_jsonl"))
     assert caps.count() == stats["docs"]
+
+
+def test_write_corpus_empty_slice(spark, tmp_path):
+    """A batch where nothing survives curation (normal for a
+    non-Devanagari crawl slice) must write an empty corpus and zeroed
+    stats, not crash on None Observation metrics."""
+    corpus = curate(_extracted(spark, 300).limit(0))
+    stats = write_corpus(corpus, str(tmp_path / "empty_out"))
+    assert stats == {"docs": 0, "graphemes": 0, "sentences": 0}
+    back = spark.read.parquet(str(tmp_path / "empty_out" / "corpus"))
+    assert back.count() == 0

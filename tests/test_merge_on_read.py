@@ -228,3 +228,29 @@ def test_concurrent_mor_upserts_from_threads(spark, tmp_path):
     assert texts["https://ex.org/10"] == "vA-10"
     assert texts["https://ex.org/60"] == "vB-60"
     assert texts["https://ex.org/40"] == "v1-40"
+
+
+def test_mor_read_survives_metadata_only_commits(spark, tmp_path):
+    """Schema-evolution commits carry no data files; the partitioned MOR
+    read must skip those empty provenance groups instead of crashing."""
+    from pyspark.sql import functions as F2
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    pschema = StructType(SCHEMA.fields + [
+        StructField("bucket", LongType(), False)])
+    t = IceliteTable(spark, str(tmp_path / "morschema"), pschema,
+                     partition_cols=["bucket"])
+
+    def with_bucket(df):
+        return df.withColumn(
+            "bucket", F2.pmod(F2.xxhash64("url"), F2.lit(4)).cast("long"))
+
+    t.append(with_bucket(_batch(spark, 0, 40, "v1")))
+    t.merge_upsert_mor(with_bucket(_batch(spark, 0, 10, "v2", day=2)), "url")
+    t.add_columns([StructField("lang", StringType(), True)])
+
+    out = t.read()
+    assert out.count() == 40
+    assert out.filter(F2.col("url") == "https://ex.org/3") \
+        .head()["text"] == "v2-3"
+    assert "lang" in out.columns
