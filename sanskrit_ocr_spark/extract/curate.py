@@ -9,22 +9,28 @@ that finishing stage over the ``extracted`` table, Spark-first:
 2. quality gate: at least ``min_graphemes`` grapheme clusters and at
    least one danda sentence (the ``ts_quality_score`` family applied to
    the pipeline's own output);
-3. exact-text first-wins dedup — window over ``(xxhash64(text), text)``
-   ordered by ``(warc_ts, url)``: deterministic winner, 8-byte hash
-   comparisons, text kept in the key only for collision safety
-   (reference semantics h5_to_parquet.py:27,45-48, key-based);
+3. exact-text first-wins dedup — ``keep_first`` (min_by partial
+   aggregation over ``(xxhash64(text), text)``, winner = min
+   ``(warc_ts, url)``): deterministic winner, 8-byte hash comparisons,
+   text kept in the key only for collision safety, and — unlike a
+   ``row_number`` window — skew-proof: a boilerplate text duplicated
+   10^9× collapses map-side to one candidate row per task instead of
+   one straggler holding the whole group (reference semantics
+   h5_to_parquet.py:27,45-48, key-based);
 4. outputs: a corpus parquet and a captions JSONL directory
    (``df.write.json`` — K4, one raw-UTF-8 object per line).
 
-Everything is one narrow filter + one window shuffle + writes; the stats
-come from an ``observe`` on the write pass, not extra count jobs.
+Everything is one narrow filter + one partial-aggregated dedup shuffle +
+writes; the stats come from an ``observe`` on the write pass, not extra
+count jobs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from sanskrit_ocr_spark.ops.util import keep_first
 
 MIN_GRAPHEMES = 20
 
@@ -35,13 +41,10 @@ def curate(extracted: DataFrame, min_graphemes: int = MIN_GRAPHEMES) -> DataFram
     ok = (extracted
           .filter(F.col("status") == "OK")
           .filter(F.col("n_graphemes") >= min_graphemes)
-          .filter(F.size("sentences") >= 1))
-    w = Window.partitionBy(F.xxhash64("text"), "text") \
-              .orderBy(F.col("warc_ts").asc(), F.col("url").asc())
-    return (ok.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("url", "warc_ts", "text", "n_graphemes",
-                    F.size("sentences").alias("n_sentences")))
+          .filter(F.size("sentences") >= 1)
+          .select("url", "warc_ts", "text", "n_graphemes",
+                  F.size("sentences").alias("n_sentences")))
+    return keep_first(ok, "text", ["warc_ts", "url"])
 
 
 def write_corpus(corpus: DataFrame, dest: str,

@@ -483,13 +483,18 @@ def dedup_paragraphs(spark, sf):
     each distinct chunk (first = min (doc_id, pos)), and reconstruct the
     cleaned text from the surviving chunks in original order.
 
-    Scale shape: posexplode (narrow) → one shuffle on the paragraph hash
-    (the window key — first-occurrence via row_number, the D1 rule) → one
-    shuffle back on doc_id to reassemble. Both shuffle keys are hashes/ids,
-    no skew beyond genuine duplication; the paragraph strings travel the
-    first shuffle once. At 100 TB this is the standard two-shuffle
-    sub-document dedup — no driver state, no all-pairs anything."""
-    from pyspark.sql import Window
+    Scale shape: posexplode (narrow) → ``mark_first`` on the paragraph
+    hash (min-(doc_id, pos) per hash via partial-aggregated ``min``, then
+    a join back — first-occurrence, the D1 rule, WITHOUT a row_number
+    window: a boilerplate paragraph repeated 10^9× across a crawl
+    collapses map-side to one winner candidate per task, and the join
+    probe side streams + splits under AQE skew handling instead of
+    buffering the whole group in one window task) → one shuffle back on
+    doc_id to reassemble. All shuffle keys are hashes/ids; the paragraph
+    strings travel the first shuffle once. At 100 TB this is the standard
+    two-shuffle sub-document dedup — no driver state, no all-pairs
+    anything."""
+    from sanskrit_ocr_spark.ops.util import mark_first
 
     docs = t(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), " +")
@@ -499,9 +504,9 @@ def dedup_paragraphs(spark, sf):
         f" {PARA_WORDS}), ' '))")
     ex = (docs.withColumn("toks", toks)
           .select("doc_id", F.posexplode(paras).alias("pos", "para")))
-    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
-    flagged = (ex.withColumn("ph", F.md5(F.encode("para", "UTF-8")))
-               .withColumn("kept", F.row_number().over(w) == 1))
+    flagged = mark_first(
+        ex.withColumn("ph", F.md5(F.encode("para", "UTF-8"))),
+        "ph", ["doc_id", "pos"])
     return (flagged.groupBy("doc_id")
             .agg(F.count("*").alias("n_paras"),
                  F.sum(F.col("kept").cast("long")).alias("n_kept"),

@@ -828,8 +828,6 @@ def x5_web_curate(spark, sf):
     dedup's two shuffles, then the split as a narrow map on the
     reassembled rows — no extra exchanges versus dedup_paragraphs
     alone."""
-    from pyspark.sql import Window
-
     from sanskrit_ocr_spark.ops.dedup import PARA_WORDS
 
     docs = t(spark, sf, "documents")
@@ -850,11 +848,15 @@ def x5_web_curate(spark, sf):
         f"transform(sequence(0, cast(ceil(size(toks) / {PARA_WORDS}.0) as"
         f" int) - 1), i -> array_join(slice(toks, i * {PARA_WORDS} + 1,"
         f" {PARA_WORDS}), ' '))")
-    ex = gated.select("doc_id", "split",
-                      F.posexplode(paras).alias("pos", "para"))
-    w = Window.partitionBy(F.md5(F.encode("para", "UTF-8"))) \
-              .orderBy("doc_id", "pos")
-    flagged = ex.withColumn("kept", F.row_number().over(w) == 1)
+    from sanskrit_ocr_spark.ops.util import mark_first
+
+    ex = (gated.select("doc_id", "split",
+                       F.posexplode(paras).alias("pos", "para"))
+          .withColumn("ph", F.md5(F.encode("para", "UTF-8"))))
+    # skew-proof keep-first: min-(doc_id,pos) per hash + join back — a
+    # hot paragraph streams through the join probe (AQE-splittable)
+    # instead of buffering in one row_number window task
+    flagged = mark_first(ex, "ph", ["doc_id", "pos"])
     return (flagged.groupBy("doc_id", "split")
             .agg(F.count("*").alias("n_paras"),
                  F.sum(F.col("kept").cast("long")).alias("n_kept"),

@@ -2,7 +2,62 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def keep_first(df: DataFrame, key: Column | str,
+               order_cols: list[Column | str]) -> DataFrame:
+    """Skew-proof first-wins dedup (the D1 rule, reference
+    h5_to_parquet.py:45-48 made key-based): keep, per distinct ``key``,
+    the row that sorts first by ``order_cols``.
+
+    Implemented as ``groupBy(xxhash64(key), key).agg(min_by(struct(*cols),
+    struct(*order_cols)))`` rather than a ``row_number`` window. Semantics
+    are identical, but a window has NO partial aggregation — every row of
+    a duplicate group crosses the shuffle and lands in one task, so a text
+    duplicated 10^6–10^9× (parked-domain/boilerplate pages on a real
+    crawl) becomes one straggler task holding gigabytes. ``min_by`` is a
+    declarative aggregate: map-side partial aggregation collapses each
+    map task's contribution to ONE candidate row per key before the
+    shuffle, so the hot group costs one row per upstream partition no
+    matter its multiplicity. The 8-byte ``xxhash64`` leads the grouping
+    key so shuffle/compare work touches the hash, not whole documents;
+    the raw key column stays in the key only for collision safety.
+
+    Deterministic whenever ``order_cols`` are unique within a key group;
+    on exact ties ``min_by`` picks an arbitrary tied row — same contract
+    as the ``row_number`` form, whose sort was equally tie-unstable."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    cols = df.columns
+    return (df
+            .groupBy(F.xxhash64(key_col).alias("__kh"),
+                     key_col.alias("__k"))
+            .agg(F.min_by(F.struct(*cols), F.struct(*order)).alias("__w"))
+            .select("__w.*"))
+
+
+def mark_first(df: DataFrame, key: str,
+               order_cols: list[str], flag: str = "kept") -> DataFrame:
+    """Keep-ALL variant of :func:`keep_first` for sub-document dedup:
+    returns ``df`` plus a boolean ``flag`` column that is true on the
+    first row per ``key`` (ordered by ``order_cols``) and false on the
+    rest, without a window.
+
+    Two-step shape: (1) ``groupBy(key).agg(min(struct(order_cols)))`` —
+    partial aggregation, one winner row per distinct key; (2) join the
+    winners back on the key and compare. The big side crosses the shuffle
+    once (same as the window form), but as a JOIN probe side it streams —
+    and AQE's skew-join split can divide a hot key's partition across
+    tasks, which a window fundamentally cannot (the whole partition must
+    be co-located and buffered for ``row_number``). ``order_cols`` must
+    and ``key`` must be plain column names present in ``df``."""
+    win = (df.groupBy(key)
+           .agg(F.min(F.struct(*order_cols)).alias("__win")))
+    return (df.join(win, [key])
+            .withColumn(flag, F.struct(*order_cols) == F.col("__win"))
+            .drop("__win"))
 
 
 def spread(df: DataFrame) -> DataFrame:

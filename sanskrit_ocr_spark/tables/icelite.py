@@ -60,7 +60,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
-from pyspark.sql.window import Window
+
+from sanskrit_ocr_spark.ops.util import keep_first
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -430,15 +431,15 @@ class IceliteTable:
     def _first_wins(df: DataFrame, key: str,
                     order_col: str | None) -> DataFrame:
         """Within-batch duplicate-key resolution shared by every merge
-        arm: deterministic first-wins by ``order_col`` (hash-first window
-        key — 8-byte shuffle comparisons, the key column retained for
-        collision safety), else ``dropDuplicates``."""
+        arm: deterministic first-wins by ``(order_col, key)`` via
+        ``keep_first`` (min_by partial aggregation over the hash-first
+        grouping key — 8-byte shuffle comparisons, the key column
+        retained for collision safety, and skew-proof: a hot key's
+        duplicates collapse to one candidate row per map task instead of
+        one straggler window task), else ``dropDuplicates``."""
         if not order_col:
             return df.dropDuplicates([key])
-        w = Window.partitionBy(F.xxhash64(key), key) \
-                  .orderBy(F.col(order_col).asc(), F.col(key).asc())
-        return (df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__rn"))
+        return keep_first(df, key, [order_col, key])
 
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None,
