@@ -200,6 +200,9 @@ def dense_id(df: DataFrame, order_col: str, n_buckets: int = 32) -> DataFrame:
 
 
 def p7_dense_id(spark, sf):
+    """Standalone P7 (pytest-pinned since r5 — the driver row moved into
+    ``w1_top_event_per_user``, which now exercises ``dense_id`` on its
+    deduped output; r4 VERDICT #2 rotation)."""
     return (dense_id(t(spark, sf, "documents").select("doc_id"), "doc_id")
             .select("doc_id", F.col("seq").cast("int").alias("seq")))
 
@@ -315,16 +318,25 @@ GROUP BY r_name, n_name
 # --- W1: top event per user (window rank) -------------------------------------
 
 def w1_top_event_per_user(spark, sf):
+    """Top event per user (window rank) + P7 dense sequence id over the
+    result (r5 consolidation: ``p7_dense_id``'s driver row folded in
+    here — ``dense_id`` is the partition-offset technique, no global
+    single-task window; the user_id key is unique post-dedup, so the
+    sequence is deterministic)."""
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
                                               F.col("event_id").asc())
-    return (t(spark, sf, "events")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "value"))
+    top = (t(spark, sf, "events")
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("user_id", "event_id", "value"))
+    return dense_id(top, "user_id").select("user_id", "event_id", "value",
+                                           F.col("seq").cast("long")
+                                           .alias("seq"))
 
 
 W1_SQL = """
-SELECT user_id, event_id, value FROM (
+SELECT user_id, event_id, value,
+       row_number() OVER (ORDER BY user_id) AS seq FROM (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value DESC, event_id ASC) AS rn
@@ -615,13 +627,13 @@ FROM part GROUP BY p_brand
 #   p3_prompt_format + p6_id_format        → p3_template_project
 #   r1_event_rollup                        → r2_event_cube (CUBE ⊃ ROLLUP)
 #   g2_supplier_nation                     → j_broadcast_dims
+#   p7_dense_id (r5)                       → w1_top_event_per_user (seq col)
 QUERIES = {
     "p1_content_gate": p1_content_gate,
     "j1_keyed_join": j1_keyed_join,
     "j3_resume_anti_join": j3_resume_anti_join,
     "a1_group_stats": a1_group_stats,
     "p3_template_project": p3_template_project,
-    "p7_dense_id": p7_dense_id,
     "p5_danda_join": p5_danda_join,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -633,6 +645,7 @@ QUERIES = {
     "g1_part_brand_stats": g1_part_brand_stats,
     "q6_revenue_delta": q6_revenue_delta,
     "w3_asof_join": w3_asof_join,
+    "w4_range_join": w4_range_join,
     "r2_event_cube": r2_event_cube,
 }
 
@@ -642,7 +655,6 @@ ORACLES = {
     "j3_resume_anti_join": J3_SQL,
     "a1_group_stats": A1_SQL,
     "p3_template_project": P3_SQL,
-    "p7_dense_id": P7_SQL,
     "p5_danda_join": P5_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue": Q3_SQL,
@@ -654,11 +666,12 @@ ORACLES = {
     "g1_part_brand_stats": G1_SQL,
     "q6_revenue_delta": Q6_SQL,
     "w3_asof_join": W3_SQL,
+    "w4_range_join": W4_SQL,
     "r2_event_cube": R2_SQL,
 }
 
 # Capability ops outside the 50-entry driver window — pytest-only oracle
 # (tests/test_legacy_oracles.py, same comparison discipline as the driver).
 EXTRA_ORACLES = {
-    w4_range_join: W4_SQL,
+    p7_dense_id: P7_SQL,
 }
