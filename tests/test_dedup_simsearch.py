@@ -270,3 +270,50 @@ def test_hamming_candidates_full_recall_property():
                       max(rows[i][0], rows[j][0])))
     assert want, "planted pairs missing from the fixture itself"
     assert got == want
+
+
+def test_vote64_batch_matches_scalar():
+    """The r5 batch vote (unpackbits + reduceat over the flat hash
+    buffer) must be bit-identical to the per-row scalar vote, including
+    empty docs interleaved anywhere in the batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(-2**63, 2**63 - 1, size=n, dtype=np.int64)
+            for n in (0, 1, 3, 80, 0, 200, 1, 0)]
+    batch = dedup._vote64_batch(arrs)
+    for a, b in zip(arrs, batch):
+        assert dedup._vote64(a.view(np.uint64)) == b
+    assert list(dedup._vote64_batch([])) == []
+
+
+def test_simhash_jvm_variant_differential(spark):
+    """simhash_df_jvm hashes tokens JVM-side (xxhash64); its vote is
+    checked against a scalar per-token/per-bit reference computed over
+    the SAME JVM-provided token hashes, and its tokenization against
+    Python str.split()."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    toks = F.filter(F.split(F.col("text"), r"\s+"),
+                    lambda x: x != F.lit(""))
+    ref_rows = docs.select(
+        "doc_id", "text",
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("th")).collect()
+
+    def scalar_vote(hs):
+        acc = [0] * 64
+        for h in hs:
+            u = h & (2**64 - 1)
+            for i in range(64):
+                acc[i] += 1 if (u >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    got = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_df_jvm(docs).collect()}
+    for r in ref_rows:
+        assert len(r["th"]) == len(r["text"].split()), r["doc_id"]
+        assert got[r["doc_id"]] == scalar_vote(r["th"]), r["doc_id"]
