@@ -395,3 +395,30 @@ def test_phash_robustness_and_neardup_correlation(spark):
     assert img_pairs
     for (a, b), d in img_pairs.items():
         assert ham(a, b) == d <= PHASH_MAX_HAMMING
+
+
+def test_cc_star_rounds_converge_on_long_chain(spark):
+    """r5: the alternating large-star/small-star CC must collapse a
+    50-node PATH graph (diameter 49 — the case the old min-label
+    propagation's CC_MAX_ITERS=12 cap could not finish) into one
+    component in O(log n) rounds."""
+    from sanskrit_ocr_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "u long, v long")
+    stars, rounds = connected_components(edges)
+    rows = stars.collect()
+    assert {r["v"] for r in rows} == {0}, "all nodes must point at min"
+    assert {r["u"] for r in rows} == set(range(1, 50))
+    assert rounds <= 10, f"expected O(log n) rounds, used {rounds}"
+
+
+def test_cc_star_rounds_star_and_isolated(spark):
+    from sanskrit_ocr_spark.ops.dedup import connected_components
+
+    # two components: a clique-ish triangle {5,6,7} and a pair {1,9}
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (5, 7), (9, 1)], "u long, v long")
+    stars, _ = connected_components(edges)
+    got = {(r["u"], r["v"]) for r in stars.collect()}
+    assert got == {(6, 5), (7, 5), (9, 1)}
