@@ -35,7 +35,8 @@ from sanskrit_ocr_spark.extract.pipeline import (
 
 def start_ingest(spark: SparkSession, pages_dir: str, root: str,
                  checkpoint_dir: str, max_files_per_trigger: int = 16,
-                 available_now: bool = False, recrawl: bool = False):
+                 available_now: bool = False, recrawl: bool = False,
+                 on_batch_committed=None):
     """Start the streaming extraction job; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``pages_dir`` and
@@ -51,12 +52,14 @@ def start_ingest(spark: SparkSession, pages_dir: str, root: str,
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(pages_dir))
     return _start_extract_stream(spark, stream, root, checkpoint_dir,
-                                 available_now, recrawl)
+                                 available_now, recrawl,
+                                 on_batch_committed)
 
 
 def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                       checkpoint_dir: str, max_files_per_trigger: int = 16,
-                      available_now: bool = False, recrawl: bool = False):
+                      available_now: bool = False, recrawl: bool = False,
+                      on_batch_committed=None):
     """Streaming extraction straight off a WARC segment landing directory
     — the end-to-end continuous Common-Crawl shape: ``stream_warc``
     (binaryFile source + member-walking records stage) → the SAME
@@ -71,12 +74,14 @@ def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                            max_files_per_trigger=max_files_per_trigger)
                .filter(F.col("url").isNotNull()))
     return _start_extract_stream(spark, records, root, checkpoint_dir,
-                                 available_now, recrawl)
+                                 available_now, recrawl,
+                                 on_batch_committed)
 
 
 def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                           checkpoint_dir: str, available_now: bool,
-                          recrawl: bool = False):
+                          recrawl: bool = False,
+                          on_batch_committed=None):
     ext = extracted_table(spark, root)
     lin = lineage_table(spark, root)
 
@@ -90,6 +95,13 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
 
         batch_df = batch_df.persist(StorageLevel.DISK_ONLY)
         try:
+            if batch_df.isEmpty():
+                # an empty micro-batch (e.g. a recrawl trigger with no new
+                # files) must not churn a new snapshot: committing would
+                # add an empty data file, an empty equality-delete file,
+                # a lineage row, and one permanent MOR anti-join to every
+                # read until the next compact()
+                return
             if recrawl:
                 sid, _ = ext.merge_upsert_mor(batch_df, "url",
                                               order_col="warc_ts")
@@ -99,6 +111,13 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
             lin.append(lineage_rows(
                 batch_df, snapshot_id=sid,
                 committed_at=datetime.now(timezone.utc)))
+            if on_batch_committed is not None:
+                # test/metrics seam, invoked AFTER the table commit and
+                # BEFORE Spark records the batch's offsets in the
+                # streaming checkpoint — raising here simulates a crash
+                # in exactly the window the MERGE-on-url idempotence
+                # exists for (the batch is re-delivered on restart)
+                on_batch_committed(batch_id)
         finally:
             batch_df.unpersist()
 
