@@ -241,14 +241,20 @@ class IceliteTable:
             return self.spark.createDataFrame([], schema)
         groups, deletes = self._groups_at(sid)
         if deletes:
-            # merge-on-read path: rows carry their commit id, and each
-            # pending equality-delete file anti-joins away OLDER rows with
-            # a matching key (Iceberg v2 equality-delete semantics: a
+            # merge-on-read path: rows carry their commit id, and pending
+            # equality-delete files anti-join away OLDER rows with a
+            # matching key (Iceberg v2 equality-delete semantics: a
             # delete at commit s applies to data committed before s, so a
             # same-commit re-insert survives). Delete sets are O(batch) →
-            # broadcast; readers pay one broadcast anti-join per
-            # un-compacted MOR commit, and compact() restores the plain
-            # single-scan path.
+            # broadcast. r5 (VERDICT r4 #6): ALL pending delete sets
+            # coalesce into ONE union'd (key, sid) frame and ONE
+            # broadcast anti-join per distinct key column — read cost no
+            # longer grows by a join per un-compacted re-crawl commit
+            # (was O(k) anti-joins after k batches). Equivalent because
+            # LEFT ANTI removes a row iff ANY build row matches; the
+            # per-delete "older only" guard travels as the build-side
+            # ``__dsid`` in the join condition. compact() still restores
+            # the plain single-scan path.
             parts = []
             for csid, gfiles in groups:
                 if not gfiles:
@@ -265,13 +271,20 @@ class IceliteTable:
             data = parts[0]
             for p in parts[1:]:
                 data = data.unionByName(p)
+            by_key: dict[str, list[dict]] = {}
             for d in deletes:
-                dk = (self.spark.read.parquet(d["dir"])
-                      .select(F.col(d["key"]).alias("__dk")))
+                by_key.setdefault(d["key"], []).append(d)
+            for key, ds in by_key.items():
+                dk = None
+                for d in ds:
+                    one = (self.spark.read.parquet(d["dir"])
+                           .select(F.col(key).alias("__dk"),
+                                   F.lit(d["sid"]).alias("__dsid")))
+                    dk = one if dk is None else dk.unionByName(one)
                 data = data.join(
                     F.broadcast(dk),
-                    (F.col(d["key"]) == F.col("__dk"))
-                    & (F.col("__csid") < F.lit(d["sid"])),
+                    (F.col(key) == F.col("__dk"))
+                    & (F.col("__csid") < F.col("__dsid")),
                     "left_anti")
             return data.drop("__csid")
         if not self.partition_cols:
