@@ -115,13 +115,16 @@ def main(argv: list[str] | None = None) -> int:
             # expire_snapshots / remove_orphan_files): compaction also
             # APPLIES any pending merge-on-read equality deletes, so a
             # re-crawl-heavy table returns to the single-scan read path.
-            # Guard the layout flag against the on-disk naming: compacting
-            # a hive-partitioned table under an unpartitioned handle would
-            # seal the wrong schema and rewrite away the partition dirs.
-            data_dir = os.path.join(args.root, "extracted", "data")
-            on_disk_partitioned = os.path.isdir(data_dir) and any(
-                name.startswith("__commit=")
-                for name in os.listdir(data_dir))
+            # Guard the layout flag against the table's ACTUAL layout:
+            # compacting a hive-partitioned table under an unpartitioned
+            # handle would seal the wrong schema and rewrite away the
+            # partition dirs. r5: the check reads the persisted partition
+            # spec (or, for legacy pre-r3 tables with plain 'commit-<n>'
+            # dir naming, probes for hive key dirs INSIDE the commit
+            # dirs), so legacy partitioned tables are caught too.
+            from sanskrit_ocr_spark.tables.icelite import IceliteTable
+            on_disk_partitioned = bool(IceliteTable.stored_partition_cols(
+                os.path.join(args.root, "extracted")))
             if on_disk_partitioned and not args.partitioned:
                 print("error: table at --root uses the partitioned layout;"
                       " re-run --maintain with --partitioned",
@@ -189,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
             total = ext_t.read().count()
         summary = {
             "snapshot_id": res["snapshot_id"],
-            "inserted": res["inserted"],
+            **({"inserted": res["inserted"]} if "inserted" in res else {}),
             **({"updated": res["updated"]} if "updated" in res else {}),
             "extracted_total": total,
             "distinct_urls": total,

@@ -111,15 +111,21 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
             sid, updated = ext.merge_upsert_mor(
                 extracted, "url", order_col="warc_ts")
             after = ext.row_count()
+            # when manifest row totals are unavailable (table written
+            # outside merge_on_key) the insert count is simply unknown —
+            # omit it from the summary rather than emitting a -1 sentinel
             inserted = (after - before
-                        if before is not None and after is not None else -1)
+                        if before is not None and after is not None
+                        else None)
         else:
             sid, inserted = ext.merge_on_key(
                 extracted, "url", order_col="warc_ts",
                 prefilter_buckets=merge_prefilter_buckets)
         ts = committed_at or datetime.now(timezone.utc)
         lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
-        res = {"snapshot_id": sid, "inserted": inserted}
+        res = {"snapshot_id": sid}
+        if inserted is not None:
+            res["inserted"] = inserted
         if recrawl:
             res["updated"] = updated
         return res

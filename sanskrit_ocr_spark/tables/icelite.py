@@ -90,6 +90,58 @@ class IceliteTable:
         self._schema_cache: dict[int, StructType] = {}
         os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # persist the partition spec so maintenance tooling can validate
+        # a handle's layout flag against the table's actual layout (r5
+        # ADVICE: a legacy 'commit-<n>'-named partitioned table passes a
+        # name-prefix probe and would be compacted under the wrong
+        # schema). Written once at creation; never rewritten — the spec
+        # is immutable (partition columns cannot be dropped).
+        spec_path = os.path.join(root, "_icelite", "partition_spec.json")
+        if not os.path.exists(spec_path) and self.partition_cols:
+            fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump({"partition_cols": self.partition_cols}, f)
+            os.replace(tmp, spec_path)
+
+    @staticmethod
+    def stored_partition_cols(root: str) -> list[str] | None:
+        """The partition spec the table was CREATED with, independent of
+        this handle's flags: the persisted ``partition_spec.json`` when
+        present, else (legacy tables predating the spec file) a probe of
+        the data layout — ``__commit=`` dir naming, or hive ``key=`` dirs
+        nested inside plain ``commit-<n>`` dirs (the pre-r3 partitioned
+        layout; the probe reports the top-level key(s) — enough to detect
+        a partitioned layout). Returns ``None`` when the layout cannot be
+        determined (no spec file and no data yet)."""
+        spec_path = os.path.join(root, "_icelite", "partition_spec.json")
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                return json.load(f)["partition_cols"]
+        data_dir = os.path.join(root, "data")
+        if not os.path.isdir(data_dir):
+            return None
+        entries = sorted(os.listdir(data_dir))
+        if not entries:
+            return None
+        cols: list[str] = []
+        seen_commit_dir = False
+        for name in entries:
+            sub = os.path.join(data_dir, name)
+            # only data-commit dirs witness the layout (delete-* dirs are
+            # MOR equality-delete sets, always flat)
+            if not os.path.isdir(sub) or not (
+                    name.startswith("__commit=")
+                    or name.startswith("commit-")):
+                continue
+            seen_commit_dir = True
+            for inner in sorted(os.listdir(sub)):
+                if "=" in inner and os.path.isdir(
+                        os.path.join(sub, inner)):
+                    col = inner.split("=", 1)[0]
+                    if col != "__commit" and col not in cols:
+                        cols.append(col)
+            break  # one commit dir determines the layout
+        return cols if seen_commit_dir else None
 
     # -- snapshot bookkeeping -------------------------------------------------
     def _head_path(self) -> str:

@@ -319,3 +319,25 @@ def test_mor_read_tax_bounded_after_many_commits(spark, tmp_path):
     t.compact()
     assert "LeftAnti" not in _plan(t.read())
     assert {r["url"]: r["text"] for r in t.read().collect()} == rows
+
+
+def test_recrawl_summary_omits_unknown_inserted(spark, tmp_path):
+    """r5 ADVICE (low): when manifest row totals are unavailable (table
+    written by plain append, outside merge_on_key), the recrawl summary
+    must OMIT the inserted count rather than emit a -1 sentinel."""
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+    from sanskrit_ocr_spark.extract.job import (
+        extracted_table,
+        run_extraction,
+    )
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+
+    root = str(tmp_path / "noinstot")
+    pages = spark.createDataFrame(pages_pandas(0, 30), schema=PAGES_SCHEMA)
+    ext = extracted_table(spark, root)
+    ext.append(extract_pages(pages))  # totals-free commit
+    assert ext.row_count() is None
+
+    res = run_extraction(spark, pages, root, recrawl=True)
+    assert "inserted" not in res
+    assert res["updated"] > 0

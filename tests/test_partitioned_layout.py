@@ -209,3 +209,44 @@ def test_icelite_reads_push_filters_to_parquet(spark, tmp_path):
     q2 = t.read().filter(F.col("url") == "u7")
     assert pushed(q2)
     assert [r["text"] for r in q2.collect()] == ["t7-v2"]
+
+
+def test_stored_partition_cols_detects_every_layout(spark, tmp_path):
+    """r5 ADVICE (low): the --maintain layout guard must also catch
+    LEGACY partitioned tables (plain commit-<n> dirs, hive key dirs
+    nested inside) — via the persisted partition spec when present, via
+    the in-dir probe when not."""
+    import json
+    import os
+    import shutil
+
+    # modern partitioned table: spec file written at creation
+    t = IceliteTable(spark, str(tmp_path / "modern"), LAYOUT_SCHEMA,
+                     partition_cols=["warc_day", "bucket"])
+    t.append(_layout_df(spark, 0, 50))
+    assert IceliteTable.stored_partition_cols(t.root) == \
+        ["warc_day", "bucket"]
+
+    # unpartitioned table: empty list (determinate, NOT None)
+    u = IceliteTable(spark, str(tmp_path / "flat"), LAYOUT_SCHEMA)
+    u.append(_layout_df(spark, 0, 10))
+    assert IceliteTable.stored_partition_cols(u.root) == []
+
+    # legacy partitioned table: no spec file, commit-<n> naming — the
+    # probe must find the hive key dirs INSIDE the commit dir
+    leg = IceliteTable(spark, str(tmp_path / "leg"), LAYOUT_SCHEMA,
+                       partition_cols=["warc_day", "bucket"])
+    leg.append(_layout_df(spark, 0, 50))
+    data = os.path.join(leg.root, "data")
+    for name in sorted(os.listdir(data)):
+        if name.startswith("__commit="):
+            legacy = "commit-" + name.split("=", 1)[1].split("-")[0]
+            shutil.move(os.path.join(data, name),
+                        os.path.join(data, legacy))
+    os.remove(os.path.join(leg.root, "_icelite", "partition_spec.json"))
+    got = IceliteTable.stored_partition_cols(leg.root)
+    assert got and got[0] == "warc_day"
+
+    # empty table, no spec: indeterminate
+    e = IceliteTable(spark, str(tmp_path / "empty"), LAYOUT_SCHEMA)
+    assert IceliteTable.stored_partition_cols(e.root) is None
