@@ -623,41 +623,30 @@ def dedup_paragraphs(spark, sf):
     each distinct chunk (first = min (doc_id, pos)), and reconstruct the
     cleaned text from the surviving chunks in original order.
 
-    Scale shape: posexplode (narrow) → ``mark_first`` on the paragraph
-    hash (min-(doc_id, pos) per hash via partial-aggregated ``min``, then
-    a join back — first-occurrence, the D1 rule, WITHOUT a row_number
-    window: a boilerplate paragraph repeated 10^9× across a crawl
-    collapses map-side to one winner candidate per task, and the join
-    probe side streams + splits under AQE skew handling instead of
-    buffering the whole group in one window task) → one shuffle back on
-    doc_id to reassemble. All shuffle keys are hashes/ids; the paragraph
-    strings travel the first shuffle once. At 100 TB this is the standard
-    two-shuffle sub-document dedup — no driver state, no all-pairs
-    anything."""
-    from sanskrit_ocr_spark.ops.util import mark_first
+    Scale shape (r5, ``subdoc_keep_first``): posexplode (narrow) → ONE
+    shuffle on the paragraph hash whose ``min_by`` winners ARE the kept
+    rows (map-side partial aggregation — a boilerplate paragraph repeated
+    10^9× collapses to one candidate per map task, no row_number window
+    straggler) → winners reassemble per doc → a doc-level join with the
+    narrowly-computed per-doc paragraph totals. The paragraph strings
+    cross exactly one shuffle; no per-row kept flag is ever
+    materialized. At 100 TB this is the standard sub-document dedup —
+    no driver state, no all-pairs anything."""
+    from sanskrit_ocr_spark.ops.util import subdoc_keep_first
 
     docs = t(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), " +")
+    n_paras = F.ceil(F.size("toks") / PARA_WORDS).cast("long")
     paras = F.expr(
         f"transform(sequence(0, cast(ceil(size(toks) / {PARA_WORDS}.0) as int)"
         f" - 1), i -> array_join(slice(toks, i * {PARA_WORDS} + 1,"
         f" {PARA_WORDS}), ' '))")
-    ex = (docs.withColumn("toks", toks)
-          .select("doc_id", F.posexplode(paras).alias("pos", "para")))
-    flagged = mark_first(
-        ex.withColumn("ph", F.md5(F.encode("para", "UTF-8"))),
-        "ph", ["doc_id", "pos"])
-    return (flagged.groupBy("doc_id")
-            .agg(F.count("*").alias("n_paras"),
-                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
-                 F.array_join(
-                     F.transform(
-                         F.filter(
-                             F.array_sort(F.collect_list(
-                                 F.struct("pos", "kept", "para"))),
-                             lambda x: x["kept"]),
-                         lambda x: x["para"]),
-                     " ").alias("clean_text")))
+    with_toks = docs.withColumn("toks", toks)
+    ex = (with_toks
+          .select("doc_id", F.posexplode(paras).alias("pos", "para"))
+          .withColumn("ph", F.md5(F.encode("para", "UTF-8"))))
+    totals = with_toks.select("doc_id", n_paras.alias("n_paras"))
+    return subdoc_keep_first(ex, totals, ["doc_id"], ["doc_id", "pos"])
 
 
 PARA_SQL = f"""

@@ -824,11 +824,17 @@ def x5_web_curate(spark, sf):
     split hashes the original content so scrubbing can't move a doc
     across splits).
 
-    Plan shape: narrow scrub+gate fused into the scan, the paragraph
-    dedup's two shuffles, then the split as a narrow map on the
-    reassembled rows — no extra exchanges versus dedup_paragraphs
-    alone."""
-    from sanskrit_ocr_spark.ops.dedup import PARA_WORDS
+    Plan shape (r5): narrow scrub+gate fused into the scan, materialized
+    ONCE under a scoped DISK_ONLY persist (``subdoc_keep_first`` consumes
+    it twice — winners + totals — and the per-char rolling-hash split is
+    the expensive stage; measured interleaved at sf0.1: persist 1.84s ==
+    the old window form's 1.85s, recompute 2.76s), then the skew-proof
+    paragraph dedup and the doc-level totals join. The persist registers
+    in the shared scoped-cache registry (released by ``release_caches``,
+    same discipline as the minhash shingle cache)."""
+    from pyspark import StorageLevel
+
+    from sanskrit_ocr_spark.ops.dedup import _SHINGLE_CACHE, PARA_WORDS
 
     docs = t(spark, sf, "documents")
     _, scrubbed = _pii_exprs()
@@ -843,31 +849,27 @@ def x5_web_curate(spark, sf):
                          F.when(bucket < SPLIT_TRAIN_LT, "train")
                          .when(bucket < SPLIT_TRAIN_LT + 5, "val")
                          .otherwise("test"))
-             .filter(F.size("toks") >= CURATE_MIN_TOKENS))
+             .filter(F.size("toks") >= CURATE_MIN_TOKENS)
+             .select("doc_id", "split", "toks")
+             .persist(StorageLevel.DISK_ONLY))
+    _SHINGLE_CACHE.append(gated)
     paras = F.expr(
         f"transform(sequence(0, cast(ceil(size(toks) / {PARA_WORDS}.0) as"
         f" int) - 1), i -> array_join(slice(toks, i * {PARA_WORDS} + 1,"
         f" {PARA_WORDS}), ' '))")
-    from sanskrit_ocr_spark.ops.util import mark_first
+    from sanskrit_ocr_spark.ops.util import subdoc_keep_first
 
     ex = (gated.select("doc_id", "split",
                        F.posexplode(paras).alias("pos", "para"))
           .withColumn("ph", F.md5(F.encode("para", "UTF-8"))))
-    # skew-proof keep-first: min-(doc_id,pos) per hash + join back — a
-    # hot paragraph streams through the join probe (AQE-splittable)
-    # instead of buffering in one row_number window task
-    flagged = mark_first(ex, "ph", ["doc_id", "pos"])
-    return (flagged.groupBy("doc_id", "split")
-            .agg(F.count("*").alias("n_paras"),
-                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
-                 F.array_join(
-                     F.transform(
-                         F.filter(
-                             F.array_sort(F.collect_list(
-                                 F.struct("pos", "kept", "para"))),
-                             lambda x: x["kept"]),
-                         lambda x: x["para"]),
-                     " ").alias("clean_text")))
+    # skew-proof keep-first without a row_number window OR a per-row
+    # kept flag: the min_by winners per paragraph hash ARE the kept rows
+    # (see ops.util.subdoc_keep_first)
+    totals = gated.select(
+        "doc_id", "split",
+        F.ceil(F.size("toks") / PARA_WORDS).cast("long").alias("n_paras"))
+    return subdoc_keep_first(ex, totals, ["doc_id", "split"],
+                             ["doc_id", "pos"])
 
 
 X5_SQL = f"""

@@ -72,3 +72,51 @@ def spread(df: DataFrame) -> DataFrame:
     mm_feature_extract at sf0.1 on local[32] (BENCH/PLANS.md r4)."""
     n = df.sparkSession.sparkContext.defaultParallelism * 2
     return df.repartition(n)
+
+
+def subdoc_keep_first(ex: DataFrame, totals: DataFrame,
+                      doc_cols: list[str], order_cols: list[str],
+                      key: str = "ph", pos: str = "pos",
+                      para: str = "para") -> DataFrame:
+    """Sub-document (paragraph-level) keep-first dedup — the C4/
+    MassiveText rule — WITHOUT materializing a per-row kept flag.
+
+    Key insight: the winners of ``groupBy(key).agg(min_by(...))`` ARE the
+    kept rows, and ``min_by`` can carry the paragraph text and the owning
+    document's keys in its struct. So the plan is three partial-aggregated
+    groupBys and one doc-level join:
+
+    1. winners: one shuffle on the paragraph hash, ``min_by(struct(doc,
+       pos, para), struct(order))`` — map-side partial aggregation makes a
+       paragraph duplicated 10^9× cost one candidate row per map task (no
+       row_number window straggler, and ~2× faster than the
+       flag-join form even at bench scale: the paragraph strings cross
+       one shuffle once and nothing rejoins the exploded set);
+    2. reassembly: winners → ``groupBy(doc_cols)`` ordered collect (each
+       winner row belongs to the doc that keeps it);
+    3. ``totals``: caller-supplied per-doc frame ``(*doc_cols, n_paras)``
+       — computable NARROWLY from the source row (``ceil(n_tokens /
+       PARA_WORDS)``), so the corpus is scanned and exploded exactly
+       once;
+    4. a doc-level join of (3) with (2) — unique keys, skew-free; docs
+       whose every paragraph lost elsewhere keep ``n_kept=0`` and an
+       empty ``clean_text``.
+
+    Returns ``(*doc_cols, n_paras, n_kept, clean_text)``.
+    """
+    winners = (ex.groupBy(key)
+               .agg(F.min_by(F.struct(*doc_cols, pos, para),
+                             F.struct(*order_cols)).alias("__w"))
+               .select("__w.*"))
+    kept = (winners.groupBy(*doc_cols)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct(pos, para))),
+                         lambda x: x[para]),
+                     " ").alias("clean_text")))
+    return (totals.join(kept, list(doc_cols), "left")
+            .select(*doc_cols, "n_paras",
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
