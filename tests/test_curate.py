@@ -86,3 +86,31 @@ def test_write_corpus_empty_slice(spark, tmp_path):
     assert stats == {"docs": 0, "graphemes": 0, "sentences": 0}
     back = spark.read.parquet(str(tmp_path / "empty_out" / "corpus"))
     assert back.count() == 0
+
+
+def test_curate_dedup_plan_is_partial_aggregated_not_window(spark):
+    """r5 structural pin for the skew-proof first-wins dedup: curate()'s
+    plan must contain NO Window operator (a window buffers every copy of
+    a hot text in one task) and must aggregate in TWO phases — a partial
+    aggregate below the exchange (map-side collapse of duplicate groups)
+    and a final above it. min_by's struct buffer plans as SortAggregate
+    (not HashAggregate) on Spark 4; the partial/final split, not the
+    aggregate flavor, is the scale property."""
+    import contextlib
+    import io
+    import re
+
+    from sanskrit_ocr_spark.datagen.pages import pages_df
+    from sanskrit_ocr_spark.extract.curate import curate
+    from sanskrit_ocr_spark.extract.pipeline import extract_pages
+
+    df = curate(extract_pages(pages_df(spark, 100)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    aggs = re.findall(r"(?:Sort|Hash|ObjectHash)Aggregate \(\d+\)", tree)
+    assert len(aggs) >= 2, f"expected partial+final aggregate, got {aggs}"
+    assert "min_by" in plan
