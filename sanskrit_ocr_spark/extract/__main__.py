@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="also curate the extracted table (quality gate + "
                         "first-wins dedup) into DEST/corpus parquet + "
                         "DEST/captions_jsonl")
+    p.add_argument("--curate-table",
+                   help="INCREMENTALLY curate into an icelite corpus "
+                        "table at this root: only extracted rows added "
+                        "since the last curation watermark are read "
+                        "(read_changes incremental scan) and MERGEd on "
+                        "content hash — O(new data) per run")
     p.add_argument("--wet-dest",
                    help="also export OK-status extracted text as WET-style "
                         ".warc.gz conversion segments (one per partition)")
@@ -93,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.maintain and (args.recrawl
-                          or args.curate_dest or args.wet_dest
+                          or args.curate_dest or args.curate_table
+                          or args.wet_dest
                           or args.salt_partitions is not None
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root and --partitioned "
@@ -202,6 +209,10 @@ def main(argv: list[str] | None = None) -> int:
             from sanskrit_ocr_spark.extract.curate import curate, write_corpus
             summary["corpus"] = write_corpus(curate(ext_t.read()),
                                              args.curate_dest)
+        if args.curate_table:
+            from sanskrit_ocr_spark.extract.curate import curate_table
+            summary["corpus_incremental"] = curate_table(
+                spark, args.curate_table, ext_t)
         if args.wet_dest:
             from sanskrit_ocr_spark.sources.warclite import write_wet
             segs = write_wet(

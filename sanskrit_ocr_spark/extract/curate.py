@@ -71,3 +71,90 @@ def write_corpus(corpus: DataFrame, dest: str,
          .select("url", "text")
          .write.mode("overwrite").json(f"{dest}/captions_jsonl"))
     return stats
+
+
+def _corpus_schema():
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    return StructType([
+        StructField("text_md5", StringType(), False),
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("text", StringType(), False),
+        StructField("n_graphemes", IntegerType(), True),
+        StructField("n_sentences", IntegerType(), True),
+    ])
+
+
+def curate_table(spark, corpus_root: str, extracted,
+                 min_graphemes: int = MIN_GRAPHEMES) -> dict:
+    """INCREMENTAL curation — the production shape for a growing crawl
+    table, where ``--curate-dest``'s full recompute would be O(table)
+    per run instead of O(new data):
+
+    1. read only the extracted rows ADDED since the last curation
+       watermark (``IceliteTable.read_changes`` — an Iceberg-style
+       incremental scan off the delta manifests); falls back to a full
+       read when the range crossed a compaction/expiry (the MERGE below
+       makes the fallback merely slower, never wrong);
+    2. run the normal ``curate`` gates + within-batch first-wins dedup
+       on just that delta;
+    3. MERGE the batch into an icelite corpus table keyed on the content
+       hash (``text_md5``) — committed rows win, which IS the
+       reference's stream-order first-wins dedup rule
+       (h5_to_parquet.py:45-48) applied across batches in arrival
+       order; re-running with no new commits inserts nothing;
+    4. the extraction snapshot watermark rides the corpus commit's
+       manifest atomically (``extra_meta``), so a crash between steps
+       never loses or double-counts a delta — at-least-once re-curation
+       of a batch is made idempotent by the MERGE.
+
+    Returns ``{corpus_snapshot, inserted, watermark, corpus_total}``.
+    """
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+
+    # latest recorded watermark: walk the parent chain (every curation
+    # commit records one; foreign appends, if any, are skipped)
+    wm = 0
+    sid = corpus.snapshot_id()
+    cur = sid
+    while cur:
+        m = corpus._manifest(cur)
+        if "extracted_watermark" in m:
+            wm = m["extracted_watermark"]
+            break
+        cur = m.get("parent", 0)
+
+    head = extracted.snapshot_id()
+    if head <= wm:
+        return {"corpus_snapshot": sid, "inserted": 0, "watermark": wm,
+                "corpus_total": corpus.row_count() or 0}
+    try:
+        delta = extracted.read_changes(wm, head)
+    except ValueError:
+        # history below the watermark was compacted/expired — full
+        # re-read; the content-hash MERGE keeps the result identical
+        delta = extracted.read(head)
+    batch = curate(delta, min_graphemes=min_graphemes)
+    batch = batch.select(
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "url", "warc_ts", "text", "n_graphemes", "n_sentences")
+    if batch.isEmpty():
+        # nothing curated out of the delta (e.g. only no-insert resume
+        # commits since the watermark): skip the snapshot churn — the
+        # watermark intentionally does NOT advance, and the next real
+        # delta re-covers these empty commits for free
+        return {"corpus_snapshot": sid, "inserted": 0, "watermark": wm,
+                "corpus_total": corpus.row_count() or 0}
+    new_sid, inserted = corpus.merge_on_key(
+        batch, "text_md5", order_col="warc_ts",
+        extra_meta={"extracted_watermark": head})
+    return {"corpus_snapshot": new_sid, "inserted": inserted,
+            "watermark": head, "corpus_total": corpus.row_count() or 0}

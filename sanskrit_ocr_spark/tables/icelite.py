@@ -187,6 +187,60 @@ class IceliteTable:
     def committed_files(self) -> list[str]:
         return self.files_at(self.snapshot_id())
 
+    def read_changes(self, since_sid: int,
+                     to_sid: int | None = None) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental read``): the rows
+        ADDED by commits in ``(since_sid, to_sid]``, straight from the
+        delta manifests' ``new_files`` — no diffing of cumulative file
+        lists, no scan of pre-watermark data. This is what makes a
+        derived pipeline (e.g. incremental curation) O(new data) per run
+        on a growing crawl table instead of O(table).
+
+        Semantics: an INSERT-ONLY view of the range — merge-on-read
+        upsert commits contribute their (re-crawled) rows, but equality
+        deletes are NOT applied and metadata-only commits contribute
+        nothing. Raises ``ValueError`` when the range crosses a
+        compacted/sealed/legacy-cumulative manifest (the per-commit
+        provenance no longer exists there); callers fall back to a full
+        ``read()`` — any keyed MERGE downstream makes that fallback
+        merely slower, never wrong."""
+        to_sid = self.snapshot_id() if to_sid is None else to_sid
+        if since_sid > to_sid:
+            raise ValueError(f"since {since_sid} is newer than {to_sid}")
+        schema = self.schema_at(to_sid)
+        new_files: list[str] = []
+        cur = to_sid
+        while cur and cur > since_sid:
+            m = self._manifest(cur)
+            if "files" in m or m.get("full"):
+                raise ValueError(
+                    f"commit {cur} is a full/sealed manifest — "
+                    f"per-commit changes below it are unavailable")
+            new_files.extend(m.get("new_files", []))
+            cur = m["parent"]
+        if cur != since_sid:
+            raise ValueError(
+                f"snapshot {since_sid} is not an ancestor of {to_sid}")
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        if not self.partition_cols:
+            return self.spark.read.schema(schema).parquet(*new_files)
+        if all(os.path.basename(os.path.normpath(f))
+               .startswith("__commit=") for f in new_files):
+            reader_schema = StructType(
+                list(schema.fields)
+                + [StructField("__commit", StringType(), True)])
+            return (self.spark.read.schema(reader_schema)
+                    .option("basePath", os.path.join(self.root, "data"))
+                    .parquet(*new_files)
+                    .drop("__commit"))
+        parts = [self.spark.read.schema(schema).option("basePath", f)
+                 .parquet(f) for f in new_files]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _groups_at(self, sid: int) -> tuple[list, list]:
         """Per-commit file provenance + pending equality deletes at
         ``sid``: ``([(commit_sid, [files...]), ... oldest-first],
@@ -508,7 +562,8 @@ class IceliteTable:
 
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None,
-                     prefilter_buckets: int | None = None) -> tuple[int, int]:
+                     prefilter_buckets: int | None = None,
+                     extra_meta: dict | None = None) -> tuple[int, int]:
         """``MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED THEN
         INSERT`` — the idempotent-resume checkpoint (north_rule; SURVEY.md J3).
 
@@ -571,6 +626,10 @@ class IceliteTable:
                     # cumulative count rides the manifest: the job summary
                     # reads it back with zero Spark jobs
                     m["total_rows"] = parent_total + ins
+                if extra_meta:
+                    # caller bookkeeping rides the commit atomically
+                    # (e.g. incremental curation's source watermark)
+                    m.update(extra_meta)
                 return m
 
             try:

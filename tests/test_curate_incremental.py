@@ -1,0 +1,182 @@
+"""r5: Iceberg-style incremental reads (`IceliteTable.read_changes`) and
+the incremental curation pipeline built on them (`curate_table` /
+CLI `--curate-table`) — O(new data) per run on a growing crawl table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+from sanskrit_ocr_spark.extract.curate import curate, curate_table
+from sanskrit_ocr_spark.extract.job import extracted_table, run_extraction
+from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+
+def _pages(spark, lo, hi):
+    return spark.createDataFrame(pages_pandas(lo, hi - lo),
+                                 schema=PAGES_SCHEMA)
+
+
+# --- read_changes ------------------------------------------------------------
+
+def test_read_changes_returns_exactly_the_delta(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([StructField("k", LongType(), False),
+                         StructField("v", StringType(), False)])
+    t = IceliteTable(spark, str(tmp_path / "chg"), schema)
+
+    def batch(lo, hi, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}-{i}") for i in range(lo, hi)], schema)
+
+    t.append(batch(0, 10, "a"))    # sid 1
+    t.append(batch(10, 25, "b"))   # sid 2
+    t.append(batch(25, 30, "c"))   # sid 3
+
+    got = {r["k"] for r in t.read_changes(1, 3).collect()}
+    assert got == set(range(10, 30))
+    assert {r["k"] for r in t.read_changes(2).collect()} == set(range(25, 30))
+    assert t.read_changes(3, 3).count() == 0
+    # full table = changes since 0
+    assert t.read_changes(0).count() == t.read().count() == 30
+
+
+def test_read_changes_rejects_bad_ranges_and_sealed_history(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), False)])
+    t = IceliteTable(spark, str(tmp_path / "chg2"), schema)
+    for lo in (0, 10, 20):
+        t.append(spark.createDataFrame([(i,) for i in range(lo, lo + 10)],
+                                       schema))
+    with pytest.raises(ValueError):
+        t.read_changes(5, 2)
+    t.compact(target_partitions=1)      # sid 4: full manifest
+    t.append(spark.createDataFrame([(99,)], schema))  # sid 5
+    # range entirely above the compaction: fine
+    assert {r["k"] for r in t.read_changes(4).collect()} == {99}
+    # range crossing the compaction: provenance gone → explicit error
+    with pytest.raises(ValueError):
+        t.read_changes(2, 5)
+
+
+# --- curate_table ------------------------------------------------------------
+
+def test_incremental_curation_matches_full_recompute(spark, tmp_path):
+    root = str(tmp_path / "root")
+    corpus_root = str(tmp_path / "corpus")
+    run_extraction(spark, _pages(spark, 0, 200), root)
+    ext = extracted_table(spark, root)
+
+    r1 = curate_table(spark, corpus_root, ext)
+    assert r1["inserted"] > 0 and r1["watermark"] == 1
+
+    run_extraction(spark, _pages(spark, 0, 500), root)  # delta: 200..500
+    r2 = curate_table(spark, corpus_root, ext)
+    assert r2["watermark"] == 2 and r2["inserted"] > 0
+
+    # identical to curating the whole table at once (datagen's duplicate
+    # text groups never straddle the 100-row block boundary, so
+    # committed-wins == global (warc_ts, url) first-wins here)
+    corpus = IceliteTable(
+        spark, corpus_root,
+        extracted_table(spark, root).schema)  # schema arg unused for read
+    got = {(r["url"], r["text"]) for r in corpus.read()
+           .select("url", "text").collect()}
+    want = {(r["url"], r["text"]) for r in
+            curate(ext.read()).select("url", "text").collect()}
+    assert got == want
+    assert r2["corpus_total"] == len(want)
+
+    # no new extraction commits → no-op, no new corpus snapshot
+    before_sid = corpus.snapshot_id()
+    r3 = curate_table(spark, corpus_root, ext)
+    assert r3["inserted"] == 0
+    assert corpus.snapshot_id() == before_sid
+
+
+def test_incremental_curation_committed_wins_across_batches(spark, tmp_path):
+    """A text re-crawled in a later batch under a new url must NOT
+    replace the committed corpus row (stream-order first-wins across
+    batches), and must not be double-inserted."""
+    import pandas as pd
+
+    root = str(tmp_path / "root2")
+    corpus_root = str(tmp_path / "corpus2")
+    base = pages_pandas(0, 100)
+    run_extraction(spark, spark.createDataFrame(base, schema=PAGES_SCHEMA),
+                   root)
+    ext = extracted_table(spark, root)
+    r1 = curate_table(spark, corpus_root, ext)
+
+    # batch 2 = fresh pages 100..150 PLUS exact re-serves of pages 0..50
+    # under mirror urls (same html bytes → byte-identical extracted text)
+    mirror = pages_pandas(0, 50).copy()
+    mirror["url"] = mirror["url"].str.replace(
+        "https://", "https://mirror.", regex=False)
+    batch2 = pd.concat([pages_pandas(100, 50), mirror], ignore_index=True)
+    run_extraction(spark, spark.createDataFrame(batch2,
+                                                schema=PAGES_SCHEMA), root)
+    r2 = curate_table(spark, corpus_root, ext)
+
+    corpus = IceliteTable(spark, corpus_root, ext.schema)
+    rows = corpus.read().select("url", "text").collect()
+    # every text exactly once
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # no mirror url ever won a committed text
+    mirror_texts = {r["text"] for r in rows
+                    if r["url"].startswith("https://mirror.")}
+    assert not mirror_texts & {
+        r["text"] for r in rows if not r["url"].startswith("https://mirror.")}
+    # batch-2 inserts are only the genuinely new texts
+    assert 0 < r2["inserted"] < r1["inserted"] + 60
+
+
+def test_curation_watermark_survives_extracted_compaction(spark, tmp_path):
+    """After the extracted table is compacted across the watermark, the
+    incremental scan is impossible — curate_table must fall back to a
+    full read and stay correct (MERGE keeps it idempotent)."""
+    root = str(tmp_path / "root3")
+    corpus_root = str(tmp_path / "corpus3")
+    run_extraction(spark, _pages(spark, 0, 200), root)
+    ext = extracted_table(spark, root)
+    curate_table(spark, corpus_root, ext)
+
+    run_extraction(spark, _pages(spark, 0, 300), root)
+    ext.compact(target_partitions=2)   # provenance below HEAD collapsed
+    ext.expire_snapshots(keep_last=1)
+    r = curate_table(spark, corpus_root, ext)
+
+    corpus = IceliteTable(spark, corpus_root, ext.schema)
+    want = curate(ext.read()).count()
+    assert corpus.read().count() == want
+    assert r["corpus_total"] == want
+
+
+def test_incremental_curation_empty_delta_no_snapshot_churn(spark, tmp_path):
+    """A delta that curates to nothing (e.g. only a no-insert resume
+    commit since the watermark) must not commit an empty corpus
+    snapshot; the watermark stays put and the next real delta re-covers
+    the gap."""
+    root = str(tmp_path / "root4")
+    corpus_root = str(tmp_path / "corpus4")
+    run_extraction(spark, _pages(spark, 0, 100), root)
+    ext = extracted_table(spark, root)
+    r1 = curate_table(spark, corpus_root, ext)
+
+    run_extraction(spark, _pages(spark, 0, 100), root)  # 0-insert resume
+    corpus = IceliteTable(spark, corpus_root, ext.schema)
+    before = corpus.snapshot_id()
+    r2 = curate_table(spark, corpus_root, ext)
+    assert r2["inserted"] == 0
+    assert r2["watermark"] == r1["watermark"]  # did not advance
+    assert corpus.snapshot_id() == before      # no churn
+
+    run_extraction(spark, _pages(spark, 100, 200), root)  # real delta
+    r3 = curate_table(spark, corpus_root, ext)
+    assert r3["inserted"] > 0
+    got = corpus.read().count()
+    assert got == curate(ext.read()).count()
