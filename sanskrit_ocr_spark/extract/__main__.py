@@ -43,6 +43,10 @@ def main(argv: list[str] | None = None) -> int:
                           "Streaming (availableNow) through the same "
                           "extract + MERGE path, tracking progress in "
                           "--checkpoint; re-runs pick up only new segments")
+    src.add_argument("--history", action="store_true",
+                     help="print the extracted table's snapshot history "
+                          "(id, kind, files, inserted/total bookkeeping) "
+                          "as JSON — metadata only, no Spark jobs")
     src.add_argument("--maintain", action="store_true",
                      help="run table maintenance on ROOT instead of "
                           "ingesting: compact the extracted table to "
@@ -98,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--salt-partitions or --merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
+    if args.history and (args.recrawl or args.curate_dest
+                         or args.curate_table or args.wet_dest
+                         or args.salt_partitions is not None
+                         or args.merge_prefilter_buckets is not None):
+        p.error("--history takes only --root")
     if args.maintain and (args.recrawl
                           or args.curate_dest or args.curate_table
                           or args.wet_dest
@@ -113,6 +122,21 @@ def main(argv: list[str] | None = None) -> int:
         # rather than silently dropping an explicitly requested guard
         p.error("--merge-prefilter-buckets applies to the insert-only "
                 "MERGE, not --recrawl")
+
+    if args.history:
+        # metadata-only: no Spark session needed
+        from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+        class _NoSpark:  # history() never touches the session
+            pass
+
+        from sanskrit_ocr_spark.extract.job import EXTRACTED_SCHEMA
+        t = IceliteTable(_NoSpark(), os.path.join(args.root, "extracted"),
+                         EXTRACTED_SCHEMA)
+        print(json.dumps({"snapshot_id": t.snapshot_id(),
+                          "total_rows": t.row_count(),
+                          "history": t.history()}))
+        return 0
 
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)

@@ -756,6 +756,36 @@ class IceliteTable:
             return sid, updated
         raise last_err  # type: ignore[misc]
 
+    def history(self) -> list[dict]:
+        """Snapshot history, newest first (Iceberg's ``snapshots``
+        metadata-table analog): one dict per retained snapshot with its
+        id, parent, commit kind, file count, and any bookkeeping the
+        commit recorded (``inserted`` / ``updated_rows`` /
+        ``total_rows`` / watermarks / seals). Metadata only — zero Spark
+        jobs."""
+        out = []
+        cur = self.snapshot_id()
+        while cur:
+            m = self._manifest(cur)
+            kind = ("compact" if m.get("compacted")
+                    else "upsert" if m.get("merged_upsert")
+                    or m.get("upsert_mor") or m.get("deletes")
+                    else "schema" if m.get("schema_evolved")
+                    else "seal" if m.get("full")
+                    else "append")
+            row = {"snapshot_id": cur, "parent": m.get("parent", 0),
+                   "kind": kind,
+                   "n_files": len(m.get("new_files", m.get("files", [])))}
+            for k in ("inserted", "total_rows", "extracted_watermark"):
+                if k in m:
+                    row[k] = m[k]
+            out.append(row)
+            cur = m.get("parent", 0)
+            if cur and not os.path.exists(os.path.join(
+                    self.root, "_icelite", "commits", f"{cur}.json")):
+                break  # parent expired — oldest retained snapshot reached
+        return out
+
     # -- maintenance ------------------------------------------------------------
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files

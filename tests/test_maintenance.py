@@ -134,3 +134,44 @@ def test_expire_widening_window_after_deeper_expiry(spark, tmp_path):
     n2 = t2.read().count()
     assert t2.expire_snapshots(keep_last=1) != []
     assert t2.read().count() == n2
+
+
+def test_history_reports_kinds_and_bookkeeping(spark, tmp_path):
+    """r5: history() is the Iceberg snapshots-metadata analog — newest
+    first, commit kinds classified, merge bookkeeping carried, zero
+    Spark jobs (works without touching the session)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("text", StringType(), False)])
+
+    def batch(lo, hi, tag, day=1):
+        return spark.createDataFrame(
+            [(f"https://e.org/{i}", f"2025-07-0{day} 00:00:00",
+              f"{tag}-{i}") for i in range(lo, hi)],
+            "url string, warc_ts string, text string") \
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    t = IceliteTable(spark, str(tmp_path / "hist"), schema)
+    t.merge_on_key(batch(0, 20, "v1"), "url", order_col="warc_ts")
+    t.merge_upsert_mor(batch(0, 5, "v2", day=2), "url")
+    t.compact(target_partitions=1)
+
+    h = t.history()
+    assert [r["kind"] for r in h] == ["compact", "upsert", "append"]
+    assert [r["snapshot_id"] for r in h] == [3, 2, 1]
+    assert h[2]["inserted"] == 20
+    assert h[0]["total_rows"] == 20
+
+    # zero-Spark path: history() works on a handle that never touches
+    # the session (the CLI --history fast path)
+    t2 = IceliteTable.__new__(IceliteTable)
+    t2.root = str(tmp_path / "hist")
+    assert t2.history() == h
