@@ -124,6 +124,21 @@ def main() -> int:
         timings["merge_resubmit_prefilter"] = round(
             time.perf_counter() - t0, 3)
 
+        # incremental curation (r5): first run covers the whole table
+        # (watermark 0 -> HEAD) — the curate + content-hash MERGE cost;
+        # the immediate re-run is the steady-state no-new-data probe
+        from sanskrit_ocr_spark.extract.curate import curate_table
+        from sanskrit_ocr_spark.extract.job import extracted_table
+        ext_t = extracted_table(spark, e2e_root)
+        corpus_root = os.path.join(tmp, "corpus_table")
+        t0 = time.perf_counter()
+        curate_table(spark, corpus_root, ext_t)
+        timings["curate_incremental"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        curate_table(spark, corpus_root, ext_t)
+        timings["curate_incremental_noop"] = round(
+            time.perf_counter() - t0, 3)
+
         from sanskrit_ocr_spark.ops import dedup
 
         for name in headline:
