@@ -417,21 +417,6 @@ class IceliteTable:
             out = out.unionByName(p)
         return out
 
-    def history(self) -> list[dict]:
-        """Commit log, oldest first: [{snapshot_id, parent, n_files}].
-        Stops at the oldest retained manifest after snapshot expiry."""
-        out = []
-        sid = self.snapshot_id()
-        while sid:
-            try:
-                m = self._manifest(sid)
-            except FileNotFoundError:
-                break  # expired history below this point
-            out.append({"snapshot_id": sid, "parent": m["parent"],
-                        "n_files": len(self.files_at(sid))})
-            sid = m["parent"]
-        return list(reversed(out))
-
     # -- write ----------------------------------------------------------------
     def _stage_dir(self, sid: int) -> str:
         """Unique staging directory for one writer's attempt at ``sid``.

@@ -26,9 +26,10 @@ def test_time_travel_read(spark, tmp_path):
     # HEAD grew; snapshot 1 still reads exactly the old rows
     assert t.read().count() > n1
     assert t.read(snapshot_id=1).count() == n1
-    hist = t.history()
-    assert [h["snapshot_id"] for h in hist] == [1, 2]
-    assert hist[0]["parent"] == 0
+    hist = t.history()  # newest first since r5 (Iceberg snapshots order)
+    assert [h["snapshot_id"] for h in hist] == [2, 1]
+    assert hist[-1]["parent"] == 0
+    assert all(h["kind"] == "append" for h in hist)
 
 
 def test_salting_spreads_mega_host(spark):
