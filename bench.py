@@ -142,6 +142,11 @@ def main() -> int:
         from sanskrit_ocr_spark.ops import dedup
 
         for name in headline:
+            # drain heap debt from the preceding stages/queries before
+            # timing (BENCH/RESULTS.md methodology: GC storms from the
+            # 80k-row commit prefix halved later per-query passes —
+            # observed 2.6s → 18s on mm_feature_extract without this)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             force(queries[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
