@@ -183,7 +183,12 @@ def main(argv: list[str] | None = None) -> int:
             ckpt = args.checkpoint or f"{args.root}/_checkpoint"
             q = start_warc_ingest(spark, args.stream_warc, args.root, ckpt,
                                   available_now=True,
-                                  recrawl=args.recrawl)
+                                  recrawl=args.recrawl,
+                                  # continuous per-micro-batch curation;
+                                  # the post-drain curate_table call in
+                                  # the summary then no-ops (watermark
+                                  # already caught up) and just reports
+                                  curate_root=args.curate_table)
             q.awaitTermination()
             res = {"snapshot_id": ext_t.snapshot_id(),
                    "inserted": (ext_t.row_count() or 0) - before}

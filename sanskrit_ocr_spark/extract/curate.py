@@ -92,7 +92,8 @@ def _corpus_schema():
 
 
 def curate_table(spark, corpus_root: str, extracted,
-                 min_graphemes: int = MIN_GRAPHEMES) -> dict:
+                 min_graphemes: int = MIN_GRAPHEMES,
+                 prefilter_buckets: int | None = None) -> dict:
     """INCREMENTAL curation — the production shape for a growing crawl
     table, where ``--curate-dest``'s full recompute would be O(table)
     per run instead of O(new data):
@@ -153,8 +154,12 @@ def curate_table(spark, corpus_root: str, extracted,
         # delta re-covers these empty commits for free
         return {"corpus_snapshot": sid, "inserted": 0, "watermark": wm,
                 "corpus_total": corpus.row_count() or 0}
+    # ``prefilter_buckets``: the same 10^12-row MERGE shuffle guard as
+    # the extraction table (merge_on_key docstring) — at web scale the
+    # corpus' committed text_md5 column outgrows the per-batch key set
     new_sid, inserted = corpus.merge_on_key(
         batch, "text_md5", order_col="warc_ts",
+        prefilter_buckets=prefilter_buckets,
         extra_meta={"extracted_watermark": head})
     return {"corpus_snapshot": new_sid, "inserted": inserted,
             "watermark": head, "corpus_total": corpus.row_count() or 0}

@@ -36,7 +36,7 @@ from sanskrit_ocr_spark.extract.pipeline import (
 def start_ingest(spark: SparkSession, pages_dir: str, root: str,
                  checkpoint_dir: str, max_files_per_trigger: int = 16,
                  available_now: bool = False, recrawl: bool = False,
-                 on_batch_committed=None):
+                 on_batch_committed=None, curate_root: str | None = None):
     """Start the streaming extraction job; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``pages_dir`` and
@@ -53,13 +53,14 @@ def start_ingest(spark: SparkSession, pages_dir: str, root: str,
               .parquet(pages_dir))
     return _start_extract_stream(spark, stream, root, checkpoint_dir,
                                  available_now, recrawl,
-                                 on_batch_committed)
+                                 on_batch_committed, curate_root)
 
 
 def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                       checkpoint_dir: str, max_files_per_trigger: int = 16,
                       available_now: bool = False, recrawl: bool = False,
-                      on_batch_committed=None):
+                      on_batch_committed=None,
+                      curate_root: str | None = None):
     """Streaming extraction straight off a WARC segment landing directory
     — the end-to-end continuous Common-Crawl shape: ``stream_warc``
     (binaryFile source + member-walking records stage) → the SAME
@@ -75,13 +76,14 @@ def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                .filter(F.col("url").isNotNull()))
     return _start_extract_stream(spark, records, root, checkpoint_dir,
                                  available_now, recrawl,
-                                 on_batch_committed)
+                                 on_batch_committed, curate_root)
 
 
 def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                           checkpoint_dir: str, available_now: bool,
                           recrawl: bool = False,
-                          on_batch_committed=None):
+                          on_batch_committed=None,
+                          curate_root: str | None = None):
     ext = extracted_table(spark, root)
     lin = lineage_table(spark, root)
 
@@ -111,6 +113,16 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
             lin.append(lineage_rows(
                 batch_df, snapshot_id=sid,
                 committed_at=datetime.now(timezone.utc)))
+            if curate_root is not None:
+                # continuous curation: the crawl -> extract -> curated-
+                # corpus pipeline in ONE streaming job. Incremental by
+                # construction — curate_table's watermark picks up
+                # exactly the snapshots this (and any missed prior)
+                # batch committed, and the content-hash MERGE keeps
+                # at-least-once batch replay idempotent end to end.
+                from sanskrit_ocr_spark.extract.curate import curate_table
+
+                curate_table(spark, curate_root, ext)
             if on_batch_committed is not None:
                 # test/metrics seam, invoked AFTER the table commit and
                 # BEFORE Spark records the batch's offsets in the

@@ -241,3 +241,41 @@ def test_warc_stream_empty_batch_commits_nothing(spark, tmp_path):
     q.awaitTermination(300)
     assert extracted_table(spark, root).snapshot_id() == 0
     assert lineage_table(spark, root).snapshot_id() == 0
+
+
+def test_warc_stream_with_continuous_curation(spark, tmp_path):
+    """r5: curate_root threads incremental curation into foreachBatch —
+    crawl → extract → curated corpus in ONE streaming job, equal to the
+    batch pipeline's curate() over the final table."""
+    from sanskrit_ocr_spark.extract.curate import curate, _corpus_schema
+    from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    warc_dir = _write_warc_segments(tmp_path, "warccur", 0, 200, files=4)
+    root = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+    corpus_root = str(tmp_path / "cur_corpus")
+    q = start_warc_ingest(spark, warc_dir, root, ckpt,
+                          max_files_per_trigger=1, available_now=True,
+                          curate_root=corpus_root)
+    q.awaitTermination(300)
+
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    got = {r["text"] for r in corpus.read().select("text").collect()}
+    want = {r["text"] for r in
+            curate(extracted_table(spark, root).read())
+            .select("text").collect()}
+    assert got == want and len(got) > 0
+    # per-batch watermarks advanced with the stream
+    h = corpus.history()
+    assert h[0]["extracted_watermark"] == \
+        extracted_table(spark, root).snapshot_id()
+
+    # crash-replay composition: redelivered batches re-curate
+    # idempotently (content-hash MERGE) — drain again, nothing changes
+    before = corpus.snapshot_id()
+    q = start_warc_ingest(spark, warc_dir, root, ckpt,
+                          available_now=True, curate_root=corpus_root)
+    q.awaitTermination(300)
+    assert corpus.snapshot_id() == before
+    assert corpus.read().count() == len(want)
