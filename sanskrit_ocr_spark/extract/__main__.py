@@ -124,15 +124,19 @@ def main(argv: list[str] | None = None) -> int:
                 "MERGE, not --recrawl")
 
     if args.history:
-        # metadata-only: no Spark session needed
+        # metadata-only: no Spark session, and NO table construction —
+        # instantiating IceliteTable would mkdir a skeleton at a typo'd
+        # path and make "no such table" indistinguishable from "empty
+        # table" (r5 review)
         from sanskrit_ocr_spark.tables.icelite import IceliteTable
 
-        class _NoSpark:  # history() never touches the session
-            pass
-
-        from sanskrit_ocr_spark.extract.job import EXTRACTED_SCHEMA
-        t = IceliteTable(_NoSpark(), os.path.join(args.root, "extracted"),
-                         EXTRACTED_SCHEMA)
+        table_root = os.path.join(args.root, "extracted")
+        if not os.path.isdir(os.path.join(table_root, "_icelite")):
+            print(f"error: no icelite table at {table_root}",
+                  file=sys.stderr)
+            return 2
+        t = IceliteTable.__new__(IceliteTable)  # read-only handle
+        t.root = table_root
         print(json.dumps({"snapshot_id": t.snapshot_id(),
                           "total_rows": t.row_count(),
                           "history": t.history()}))

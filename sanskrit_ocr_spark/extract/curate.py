@@ -76,17 +76,22 @@ def write_corpus(corpus: DataFrame, dest: str,
 def _corpus_schema():
     from pyspark.sql.types import (
         IntegerType,
+        LongType,
         StringType,
         StructField,
         StructType,
         TimestampType,
     )
+    # dtypes match the staged rows exactly: n_graphemes is the
+    # extraction pipeline's LongType (pipeline.py EXTRACTED schema);
+    # n_sentences is curate()'s size() IntegerType — a declared-schema
+    # read of the stat columns must not hit a parquet INT/INT64 clash
     return StructType([
         StructField("text_md5", StringType(), False),
         StructField("url", StringType(), False),
         StructField("warc_ts", TimestampType(), False),
         StructField("text", StringType(), False),
-        StructField("n_graphemes", IntegerType(), True),
+        StructField("n_graphemes", LongType(), True),
         StructField("n_sentences", IntegerType(), True),
     ])
 
@@ -122,15 +127,23 @@ def curate_table(spark, corpus_root: str, extracted,
     corpus = IceliteTable(spark, corpus_root, _corpus_schema())
 
     # latest recorded watermark: walk the parent chain (every curation
-    # commit records one; foreign appends, if any, are skipped)
+    # commit records one; foreign appends are skipped). The walk stops
+    # at sealed/full manifests and at expired parents (corpus-table
+    # maintenance may have deleted them) — finding no watermark merely
+    # degrades this run to the full-read fallback below, never crashes
     wm = 0
     sid = corpus.snapshot_id()
     cur = sid
     while cur:
-        m = corpus._manifest(cur)
+        try:
+            m = corpus._manifest(cur)
+        except FileNotFoundError:
+            break  # expired history below this point
         if "extracted_watermark" in m:
             wm = m["extracted_watermark"]
             break
+        if m.get("full") or "files" in m:
+            break  # oldest retained view
         cur = m.get("parent", 0)
 
     head = extracted.snapshot_id()

@@ -328,7 +328,13 @@ def w1_top_event_per_user(spark, sf):
     top = (t(spark, sf, "events")
            .withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") == 1)
-           .select("user_id", "event_id", "value"))
+           .select("user_id", "event_id", "value")
+           # dense_id's contract evaluates its input THREE times
+           # (quantile probe, bucket counts, final plan): materialize
+           # the rank window once instead of re-running the events scan
+           # + shuffle per pass (r5 review). Eager local checkpoint —
+           # small frame (one row per user), lineage truncated.
+           .localCheckpoint(eager=True))
     return dense_id(top, "user_id").select("user_id", "event_id", "value",
                                            F.col("seq").cast("long")
                                            .alias("seq"))

@@ -51,13 +51,18 @@ def mark_first(df: DataFrame, key: str,
     once (same as the window form), but as a JOIN probe side it streams —
     and AQE's skew-join split can divide a hot key's partition across
     tasks, which a window fundamentally cannot (the whole partition must
-    be co-located and buffered for ``row_number``). ``order_cols`` must
-    and ``key`` must be plain column names present in ``df``."""
+    be co-located and buffered for ``row_number``). ``order_cols`` and
+    ``key`` must be plain column names present in ``df``; ``order_cols``
+    must be unique within each key group (on exact ties EVERY tied row
+    is flagged, where ``row_number`` would arbitrarily pick one — same
+    determinism caveat as :func:`keep_first`). NULL keys form their own
+    group (null-safe join), exactly like a window partition."""
     win = (df.groupBy(key)
-           .agg(F.min(F.struct(*order_cols)).alias("__win")))
-    return (df.join(win, [key])
+           .agg(F.min(F.struct(*order_cols)).alias("__win"))
+           .withColumnRenamed(key, "__wk"))
+    return (df.join(win, F.col(key).eqNullSafe(F.col("__wk")))
             .withColumn(flag, F.struct(*order_cols) == F.col("__win"))
-            .drop("__win"))
+            .drop("__win", "__wk"))
 
 
 def spread(df: DataFrame) -> DataFrame:

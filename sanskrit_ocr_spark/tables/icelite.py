@@ -133,14 +133,23 @@ class IceliteTable:
                     name.startswith("__commit=")
                     or name.startswith("commit-")):
                 continue
-            seen_commit_dir = True
-            for inner in sorted(os.listdir(sub)):
+            entries_in = sorted(os.listdir(sub))
+            has_data = any(e.endswith(".parquet") for e in entries_in)
+            for inner in entries_in:
                 if "=" in inner and os.path.isdir(
                         os.path.join(sub, inner)):
                     col = inner.split("=", 1)[0]
                     if col != "__commit" and col not in cols:
                         cols.append(col)
-            break  # one commit dir determines the layout
+            if not cols and not has_data:
+                # inconclusive commit dir (e.g. a historical empty-batch
+                # commit holding only _SUCCESS) — keep probing; breaking
+                # here would misclassify a legacy partitioned table as
+                # unpartitioned and let --maintain rewrite away its
+                # layout (r5 review)
+                continue
+            seen_commit_dir = True
+            break  # one CONCLUSIVE commit dir determines the layout
         return cols if seen_commit_dir else None
 
     # -- snapshot bookkeeping -------------------------------------------------
@@ -772,6 +781,36 @@ class IceliteTable:
         return out
 
     # -- maintenance ------------------------------------------------------------
+    _STRUCTURAL_KEYS = frozenset({
+        "snapshot_id", "parent", "new_files", "files", "full", "schema",
+        "schema_evolved", "file_groups", "deletes"})
+    _OWN_BOOKKEEPING = frozenset({
+        "inserted", "total_rows", "compacted", "merged_upsert",
+        "upsert_mor"})
+
+    def _carry_extra_meta(self, from_sid: int) -> dict:
+        """The LATEST value of every caller ``extra_meta`` key reachable
+        from ``from_sid`` (newest wins). Full-history rewrites (compact,
+        the expire seal) call this so bookkeeping that "rides the commit
+        atomically" — e.g. the incremental-curation watermark — survives
+        maintenance instead of silently vanishing with the rewritten
+        parents. Per-commit counters and kind markers never travel (they
+        would relabel the rewrite)."""
+        carried: dict = {}
+        cur = from_sid
+        while cur:
+            try:
+                m = self._manifest(cur)
+            except FileNotFoundError:
+                break
+            for k, v in m.items():
+                if k not in self._STRUCTURAL_KEYS \
+                        and k not in self._OWN_BOOKKEEPING \
+                        and k not in carried:
+                    carried[k] = v
+            cur = m.get("parent", 0)
+        return carried
+
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
         (Iceberg ``rewrite_data_files`` analog — incremental appends
@@ -787,7 +826,10 @@ class IceliteTable:
         manifest = {"snapshot_id": sid, "parent": parent,
                     "new_files": files, "full": True, "compacted": True,
                     # see merge_upsert: full manifests must carry the schema
-                    "schema": self.schema_at(parent).jsonValue()}
+                    "schema": self.schema_at(parent).jsonValue(),
+                    # caller bookkeeping (e.g. curation watermark)
+                    # survives the full-history rewrite
+                    **self._carry_extra_meta(parent)}
         total = self.row_count()
         if total is not None and parent:
             manifest["total_rows"] = total  # row-preserving rewrite
@@ -848,10 +890,17 @@ class IceliteTable:
                 # groups + the still-pending delete entries
                 sealed["file_groups"] = [[s, fs] for s, fs in keep_groups]
                 sealed["deletes"] = keep_deletes
-            for k in ("inserted", "total_rows", "compacted", "merged_upsert",
-                      "upsert_mor"):
-                if k in m:
-                    sealed[k] = m[k]
+            # the sealed manifest keeps its OWN counters/kind markers,
+            # and caller extra_meta (e.g. the incremental-curation
+            # watermark: "rides the commit atomically" must survive
+            # maintenance, r5 review) is pulled from the whole expiring
+            # chain — newest value wins, counters of OTHER commits never
+            # travel (they would relabel the seal)
+            for k, v in m.items():
+                if k in self._OWN_BOOKKEEPING:
+                    sealed[k] = v
+            for k, v in self._carry_extra_meta(oldest_keep).items():
+                sealed.setdefault(k, v)
             fd, tmp = tempfile.mkstemp(
                 dir=os.path.join(self.root, "_icelite"))
             with os.fdopen(fd, "w") as f:

@@ -180,3 +180,54 @@ def test_incremental_curation_empty_delta_no_snapshot_churn(spark, tmp_path):
     assert r3["inserted"] > 0
     got = corpus.read().count()
     assert got == curate(ext.read()).count()
+
+
+def test_curate_table_survives_corpus_maintenance(spark, tmp_path):
+    """r5 review: corpus-table compact+expire must not crash the
+    watermark walk (expired parents), must preserve the watermark
+    through the seal, and the declared corpus schema must read the stat
+    columns (n_graphemes is INT64)."""
+    root = str(tmp_path / "root5")
+    corpus_root = str(tmp_path / "corpus5")
+    run_extraction(spark, _pages(spark, 0, 100), root)
+    ext = extracted_table(spark, root)
+    curate_table(spark, corpus_root, ext)
+    run_extraction(spark, _pages(spark, 100, 200), root)
+    curate_table(spark, corpus_root, ext)
+
+    from sanskrit_ocr_spark.extract.curate import _corpus_schema
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    corpus.compact(target_partitions=1)
+    corpus.expire_snapshots(keep_last=1)
+
+    # declared-schema read of the stat columns (INT64 vs INT clash)
+    stats = corpus.read().select("n_graphemes", "n_sentences").collect()
+    assert all(r["n_graphemes"] >= 20 for r in stats)
+
+    # watermark survived the seal → a no-new-data run is a no-op…
+    before = corpus.snapshot_id()
+    r = curate_table(spark, corpus_root, ext)
+    assert r["inserted"] == 0 and corpus.snapshot_id() == before
+    assert r["watermark"] == ext.snapshot_id()
+
+    # …and a real new batch still curates incrementally afterwards
+    run_extraction(spark, _pages(spark, 200, 300), root)
+    r2 = curate_table(spark, corpus_root, ext)
+    assert r2["inserted"] > 0
+    assert corpus.read().count() == curate(ext.read()).count()
+
+
+def test_mark_first_null_keys_and_ties(spark):
+    """r5 review: NULL keys must form their own group (not be dropped by
+    the join), and exact order ties flag every tied row (documented)."""
+    from sanskrit_ocr_spark.ops.util import mark_first
+
+    rows = [(0, 1, "a"), (1, 2, "a"), (2, 1, None), (3, 3, None),
+            (4, 2, "b"), (5, 2, "b")]  # ids 4,5 tie on ts within "b"
+    df = spark.createDataFrame(rows, "doc_id long, ts long, text string")
+    out = {r["doc_id"]: r["kept"]
+           for r in mark_first(df, "text", ["ts"]).collect()}
+    assert len(out) == 6, "null-key rows must not be dropped"
+    assert out[0] and not out[1]          # "a": first by ts wins
+    assert out[2] and not out[3]          # NULL group deduped too
+    assert out[4] and out[5]              # documented tie behavior
