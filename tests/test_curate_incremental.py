@@ -231,3 +231,22 @@ def test_mark_first_null_keys_and_ties(spark):
     assert out[0] and not out[1]          # "a": first by ts wins
     assert out[2] and not out[3]          # NULL group deduped too
     assert out[4] and out[5]              # documented tie behavior
+
+
+def test_incremental_curation_over_partitioned_table(spark, tmp_path):
+    """read_changes' partitioned branch (__commit= basePath scan) feeds
+    curate_table identically to the unpartitioned path."""
+    root = str(tmp_path / "root6")
+    corpus_root = str(tmp_path / "corpus6")
+    run_extraction(spark, _pages(spark, 0, 150), root, partitioned=True)
+    ext = extracted_table(spark, root, partitioned=True)
+    r1 = curate_table(spark, corpus_root, ext)
+    run_extraction(spark, _pages(spark, 150, 300), root, partitioned=True)
+    r2 = curate_table(spark, corpus_root, ext)
+    assert r1["inserted"] > 0 and r2["inserted"] > 0
+
+    corpus = IceliteTable(spark, corpus_root, ext.schema)
+    got = {r["text"] for r in corpus.read().select("text").collect()}
+    want = {r["text"] for r in curate(ext.read())
+            .select("text").collect()}
+    assert got == want
