@@ -108,13 +108,12 @@ def main(argv: list[str] | None = None) -> int:
                          or args.merge_prefilter_buckets is not None):
         p.error("--history takes only --root")
     if args.maintain and (args.recrawl
-                          or args.curate_dest or args.curate_table
-                          or args.wet_dest
+                          or args.curate_dest or args.wet_dest
                           or args.salt_partitions is not None
                           or args.merge_prefilter_buckets is not None):
-        p.error("--maintain takes only --root and --partitioned "
-                "(+ --compact-partitions / --expire-keep / --master / "
-                "--shuffle-partitions)")
+        p.error("--maintain takes only --root, --partitioned and "
+                "--curate-table (+ --compact-partitions / --expire-keep "
+                "/ --master / --shuffle-partitions)")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
     if args.recrawl and args.merge_prefilter_buckets is not None:
@@ -171,14 +170,37 @@ def main(argv: list[str] | None = None) -> int:
             sid = ext_t.compact(target_partitions=args.compact_partitions)
             expired = ext_t.expire_snapshots(keep_last=args.expire_keep)
             orphans = ext_t.remove_orphans()
-            print(json.dumps({
+            out = {
                 "snapshot_id": sid,
                 "files_before": n_before,
                 "files_after": len(ext_t.committed_files()),
                 "expired_snapshots": len(expired),
                 "orphans_removed": len(orphans),
                 "rows": ext_t.row_count() or ext_t.read().count(),
-            }))
+            }
+            if args.curate_table:
+                # with incremental curation in play the CORPUS table
+                # accumulates one commit per curated batch too — maintain
+                # it in the same pass (compaction carries the curation
+                # watermark through, tests/test_curate_incremental.py)
+                from sanskrit_ocr_spark.extract.curate import _corpus_schema
+                from sanskrit_ocr_spark.tables.icelite import IceliteTable
+                cor = IceliteTable(spark, args.curate_table,
+                                   _corpus_schema())
+                cb = len(cor.committed_files())
+                csid = cor.compact(
+                    target_partitions=args.compact_partitions)
+                cexp = cor.expire_snapshots(keep_last=args.expire_keep)
+                corph = cor.remove_orphans()
+                out["corpus"] = {
+                    "snapshot_id": csid,
+                    "files_before": cb,
+                    "files_after": len(cor.committed_files()),
+                    "expired_snapshots": len(cexp),
+                    "orphans_removed": len(corph),
+                    "rows": cor.row_count() or cor.read().count(),
+                }
+            print(json.dumps(out))
             return 0
         if args.stream_warc:
             from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest

@@ -25,6 +25,9 @@ from sanskrit_ocr_spark.extract.__main__ import main
     ["--maintain", "--root", "/tmp/y", "--recrawl"],
     ["--maintain", "--root", "/tmp/y", "--wet-dest", "/tmp/w"],
     ["--maintain", "--root", "/tmp/y", "--curate-dest", "/tmp/c"],
+    # --history is metadata-only
+    ["--history", "--root", "/tmp/y", "--curate-table", "/tmp/c"],
+    ["--history", "--root", "/tmp/y", "--recrawl"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],
@@ -33,3 +36,34 @@ def test_cli_rejects_invalid_combinations(argv):
     with pytest.raises(SystemExit) as exc:
         main(argv)
     assert exc.value.code != 0
+
+
+def test_history_on_missing_table_errors_without_side_effects(tmp_path):
+    """r5 review: --history on a typo'd root must error (exit 2), print
+    to stderr, and create NO skeleton table tree at the bogus path."""
+    import os
+
+    bogus = str(tmp_path / "no-such-table")
+    rc = main(["--history", "--root", bogus])
+    assert rc == 2
+    assert not os.path.exists(bogus)
+
+
+def test_maintain_accepts_curate_table(tmp_path):
+    """--maintain --curate-table is a VALID combination since r5 (corpus
+    maintenance); it must pass argparse validation and fail later only
+    on the empty layout probe path, never with an argparse SystemExit."""
+    import argparse
+
+    p_err = []
+    try:
+        # root without a table: the maintain body runs its layout probe
+        # (stored_partition_cols -> None) and proceeds to build a spark
+        # session — we only assert argparse did NOT reject the combo, so
+        # intercept before the session by pointing at a bad master
+        main(["--maintain", "--root", str(tmp_path / "r"),
+              "--curate-table", str(tmp_path / "c"),
+              "--master", "local[1]", "--expire-keep", "1"])
+    except SystemExit as e:
+        p_err.append(e.code)
+    assert 2 not in p_err
