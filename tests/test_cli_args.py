@@ -49,21 +49,18 @@ def test_history_on_missing_table_errors_without_side_effects(tmp_path):
     assert not os.path.exists(bogus)
 
 
-def test_maintain_accepts_curate_table(tmp_path):
+def test_maintain_accepts_curate_table(tmp_path, monkeypatch):
     """--maintain --curate-table is a VALID combination since r5 (corpus
-    maintenance); it must pass argparse validation and fail later only
-    on the empty layout probe path, never with an argparse SystemExit."""
-    import argparse
+    maintenance): argparse must accept it. Intercept at build_spark —
+    actually running main() here would getOrCreate() and then STOP the
+    suite's shared session (main's finally), killing every later Spark
+    test."""
+    import sanskrit_ocr_spark.extract.__main__ as m
 
-    p_err = []
-    try:
-        # root without a table: the maintain body runs its layout probe
-        # (stored_partition_cols -> None) and proceeds to build a spark
-        # session — we only assert argparse did NOT reject the combo, so
-        # intercept before the session by pointing at a bad master
-        main(["--maintain", "--root", str(tmp_path / "r"),
-              "--curate-table", str(tmp_path / "c"),
-              "--master", "local[1]", "--expire-keep", "1"])
-    except SystemExit as e:
-        p_err.append(e.code)
-    assert 2 not in p_err
+    def _parsed_ok(*a, **k):
+        raise RuntimeError("parsed-ok")
+
+    monkeypatch.setattr(m, "build_spark", _parsed_ok)
+    with pytest.raises(RuntimeError, match="parsed-ok"):
+        m.main(["--maintain", "--root", str(tmp_path / "r"),
+                "--curate-table", str(tmp_path / "c")])
