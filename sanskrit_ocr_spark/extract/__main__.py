@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
                         "since the last curation watermark are read "
                         "(read_changes incremental scan) and MERGEd on "
                         "content hash — O(new data) per run")
+    p.add_argument("--wet-table",
+                   help="INCREMENTAL WET export rooted here: segments/ "
+                        "gets only rows added since the last export "
+                        "watermark (exactly-once per url via the "
+                        "exported/ sidecar table)")
     p.add_argument("--wet-dest",
                    help="also export OK-status extracted text as WET-style "
                         ".warc.gz conversion segments (one per partition)")
@@ -104,11 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.history and (args.recrawl or args.curate_dest
                          or args.curate_table or args.wet_dest
+                         or args.wet_table
                          or args.salt_partitions is not None
                          or args.merge_prefilter_buckets is not None):
         p.error("--history takes only --root")
     if args.maintain and (args.recrawl
                           or args.curate_dest or args.wet_dest
+                          or args.wet_table
                           or args.salt_partitions is not None
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
@@ -268,6 +275,10 @@ def main(argv: list[str] | None = None) -> int:
             from sanskrit_ocr_spark.extract.curate import curate_table
             summary["corpus_incremental"] = curate_table(
                 spark, args.curate_table, ext_t)
+        if args.wet_table:
+            from sanskrit_ocr_spark.extract.wet import export_wet_incremental
+            summary["wet_incremental"] = export_wet_incremental(
+                spark, args.wet_table, ext_t)
         if args.wet_dest:
             from sanskrit_ocr_spark.sources.warclite import write_wet
             segs = write_wet(
