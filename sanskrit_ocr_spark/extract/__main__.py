@@ -129,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--merge-prefilter-buckets applies to the insert-only "
                 "MERGE, not --recrawl")
 
+    if args.maintain and args.curate_table and not os.path.isdir(
+            os.path.join(args.curate_table, "_icelite")):
+        # constructing the corpus handle would mkdir an empty table
+        # skeleton at a typo'd path and 'maintain' it silently — mirror
+        # the --history existence guard, before any Spark session spins
+        # up (r6 ADVICE)
+        print(f"error: no icelite table at {args.curate_table}",
+              file=sys.stderr)
+        return 2
+
     if args.history:
         # metadata-only: no Spark session, and NO table construction —
         # instantiating IceliteTable would mkdir a skeleton at a typo'd

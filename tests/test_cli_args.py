@@ -49,6 +49,20 @@ def test_history_on_missing_table_errors_without_side_effects(tmp_path):
     assert not os.path.exists(bogus)
 
 
+def test_maintain_curate_table_missing_errors_without_side_effects(
+        tmp_path):
+    """r6 ADVICE: --maintain --curate-table on a typo'd corpus path must
+    exit 2 BEFORE any Spark session or table construction — previously it
+    mkdir'd an empty skeleton there and 'maintained' it silently."""
+    import os
+
+    bogus = str(tmp_path / "no-such-corpus")
+    rc = main(["--maintain", "--root", str(tmp_path / "root"),
+               "--curate-table", bogus])
+    assert rc == 2
+    assert not os.path.exists(bogus)
+
+
 def test_maintain_accepts_curate_table(tmp_path, monkeypatch):
     """--maintain --curate-table is a VALID combination since r5 (corpus
     maintenance): argparse must accept it. Intercept at build_spark —
@@ -61,6 +75,9 @@ def test_maintain_accepts_curate_table(tmp_path, monkeypatch):
         raise RuntimeError("parsed-ok")
 
     monkeypatch.setattr(m, "build_spark", _parsed_ok)
+    # the corpus table must EXIST to get past the r6 typo'd-path guard
+    import os
+    os.makedirs(str(tmp_path / "c" / "_icelite"))
     with pytest.raises(RuntimeError, match="parsed-ok"):
         m.main(["--maintain", "--root", str(tmp_path / "r"),
                 "--curate-table", str(tmp_path / "c")])
