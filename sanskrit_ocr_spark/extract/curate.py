@@ -98,29 +98,51 @@ def _corpus_schema():
 
 def curate_table(spark, corpus_root: str, extracted,
                  min_graphemes: int = MIN_GRAPHEMES,
-                 prefilter_buckets: int | None = None) -> dict:
+                 prefilter_buckets: int | None = None,
+                 retract: bool = True) -> dict:
     """INCREMENTAL curation — the production shape for a growing crawl
     table, where ``--curate-dest``'s full recompute would be O(table)
     per run instead of O(new data):
 
     1. read only the extracted rows ADDED since the last curation
        watermark (``IceliteTable.read_changes`` — an Iceberg-style
-       incremental scan off the delta manifests); falls back to a full
-       read when the range crossed a compaction/expiry (the MERGE below
+       incremental scan off the delta manifests, NET of in-range
+       equality deletes, so a url recrawled twice in one window
+       contributes only its latest version); falls back to a full read
+       when the range crossed a compaction/expiry (the MERGE below
        makes the fallback merely slower, never wrong);
-    2. run the normal ``curate`` gates + within-batch first-wins dedup
+    2. RETRACTION (r6, ``retract=True``): when the delta range carries
+       merge-on-read equality deletes (re-crawled urls,
+       ``--recrawl`` / ``start_ingest(recrawl=True)``), committed
+       corpus rows attributed to a replaced url whose content hash is
+       NOT re-asserted by that url's latest in-range extraction are
+       deleted (``IceliteTable.delete_keys`` — an O(batch) equality-
+       delete commit, replay-idempotent). Contract: **the corpus
+       mirrors the latest crawl state per url** — without this, a
+       recrawled url's old text stayed in the corpus forever while the
+       new text was appended (a silent content log). Documented
+       approximation: the corpus attributes each text to its first-wins
+       url, so a text that ALSO still lives at another (un-recrawled)
+       url leaves the corpus until any later delta re-presents it —
+       the only O(delta) alternative to per-text reference counts;
+       the content-hash MERGE re-inserts it the next time any crawl
+       batch carries it. ``retract=False`` pins the r5 content-log
+       semantics (texts are only ever added);
+    3. run the normal ``curate`` gates + within-batch first-wins dedup
        on just that delta;
-    3. MERGE the batch into an icelite corpus table keyed on the content
+    4. MERGE the batch into an icelite corpus table keyed on the content
        hash (``text_md5``) — committed rows win, which IS the
        reference's stream-order first-wins dedup rule
        (h5_to_parquet.py:45-48) applied across batches in arrival
        order; re-running with no new commits inserts nothing;
-    4. the extraction snapshot watermark rides the corpus commit's
+    5. the extraction snapshot watermark rides the corpus commit's
        manifest atomically (``extra_meta``), so a crash between steps
        never loses or double-counts a delta — at-least-once re-curation
-       of a batch is made idempotent by the MERGE.
+       of a batch is made idempotent by the MERGE, and a replayed
+       retraction deletes nothing (keys already gone).
 
-    Returns ``{corpus_snapshot, inserted, watermark, corpus_total}``.
+    Returns ``{corpus_snapshot, inserted, retracted, watermark,
+    corpus_total}``.
     """
     from sanskrit_ocr_spark.tables.icelite import IceliteTable
 
@@ -139,24 +161,80 @@ def curate_table(spark, corpus_root: str, extracted,
 
     head = extracted.snapshot_id()
     if head <= wm:
-        return {"corpus_snapshot": sid, "inserted": 0, "watermark": wm,
+        return {"corpus_snapshot": sid, "inserted": 0, "retracted": 0,
+                "watermark": wm,
                 "corpus_total": corpus.row_count() or 0}
+    full_fallback = False
     try:
         delta = extracted.read_changes(wm, head)
     except ValueError:
         # history below the watermark was compacted/expired — full
         # re-read; the content-hash MERGE keeps the result identical
         delta = extracted.read(head)
+        full_fallback = True
+
+    # retraction: corpus rows superseded by in-range re-crawls (step 2
+    # of the docstring). Scale shape: the replaced-url set is O(recrawl
+    # batch) → broadcast; the corpus side is one narrow (url, text_md5)
+    # scan semi-joined map-side; the delete commit is O(stale rows).
+    stale = None
+    if retract and corpus.snapshot_id():
+        if full_fallback:
+            # provenance gone: full repair against the CURRENT table
+            # state (the fallback read already applies MOR deletes) —
+            # any corpus pair no longer present was superseded
+            current = delta.select(
+                "url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+            stale = (corpus.read().select("url", "text_md5")
+                     .join(current, ["url", "text_md5"], "left_anti"))
+        else:
+            dels = [d for d in extracted.deletes_in_range(wm, head)
+                    if d["key"] == "url"]
+            if dels:
+                replaced = None
+                for d in dels:
+                    one = spark.read.parquet(d["dir"]).select("url")
+                    replaced = one if replaced is None \
+                        else replaced.unionByName(one)
+                replaced = replaced.distinct()
+                # each replaced url's latest in-range version (the NET
+                # delta holds at most one row per replaced url; the
+                # keep_first is a determinism guard for exact-ts ties)
+                latest = keep_first(
+                    delta.join(F.broadcast(replaced), "url", "left_semi")
+                    .select("url", "warc_ts",
+                            F.md5(F.encode("text", "UTF-8"))
+                            .alias("text_md5")),
+                    "url", [(-F.col("warc_ts").cast("long")), "text_md5"])
+                stale = (corpus.read().select("url", "text_md5")
+                         .join(F.broadcast(replaced), "url", "left_semi")
+                         .join(latest.select("url", "text_md5"),
+                               ["url", "text_md5"], "left_anti"))
+    retracted = 0
+    if stale is not None and not stale.isEmpty():
+        _, retracted = corpus.delete_keys(
+            stale.select("text_md5"), "text_md5")
+
     batch = curate(delta, min_graphemes=min_graphemes)
     batch = batch.select(
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
         "url", "warc_ts", "text", "n_graphemes", "n_sentences")
     if batch.isEmpty():
+        if retracted:
+            # retraction was this run's only data change: advance the
+            # watermark on a metadata-only commit so the processed
+            # delete range is never re-read (crash before this commit
+            # merely replays an idempotent no-op retraction)
+            new_sid = corpus.commit_meta({"extracted_watermark": head})
+            return {"corpus_snapshot": new_sid, "inserted": 0,
+                    "retracted": retracted, "watermark": head,
+                    "corpus_total": corpus.row_count() or 0}
         # nothing curated out of the delta (e.g. only no-insert resume
         # commits since the watermark): skip the snapshot churn — the
         # watermark intentionally does NOT advance, and the next real
         # delta re-covers these empty commits for free
-        return {"corpus_snapshot": sid, "inserted": 0, "watermark": wm,
+        return {"corpus_snapshot": corpus.snapshot_id(), "inserted": 0,
+                "retracted": 0, "watermark": wm,
                 "corpus_total": corpus.row_count() or 0}
     # ``prefilter_buckets``: the same 10^12-row MERGE shuffle guard as
     # the extraction table (merge_on_key docstring) — at web scale the
@@ -166,4 +244,5 @@ def curate_table(spark, corpus_root: str, extracted,
         prefilter_buckets=prefilter_buckets,
         extra_meta={"extracted_watermark": head})
     return {"corpus_snapshot": new_sid, "inserted": inserted,
-            "watermark": head, "corpus_total": corpus.row_count() or 0}
+            "retracted": retracted, "watermark": head,
+            "corpus_total": corpus.row_count() or 0}

@@ -120,6 +120,10 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                 # exactly the snapshots this (and any missed prior)
                 # batch committed, and the content-hash MERGE keeps
                 # at-least-once batch replay idempotent end to end.
+                # With recrawl=True the curation RETRACTS corpus rows
+                # superseded by re-crawled urls (curate_table retract
+                # contract: the corpus mirrors the latest crawl state,
+                # never a both-versions content log).
                 from sanskrit_ocr_spark.extract.curate import curate_table
 
                 curate_table(spark, curate_root, ext)

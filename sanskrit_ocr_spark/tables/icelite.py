@@ -201,28 +201,17 @@ class IceliteTable:
     def committed_files(self) -> list[str]:
         return self.files_at(self.snapshot_id())
 
-    def read_changes(self, since_sid: int,
-                     to_sid: int | None = None) -> DataFrame:
-        """Incremental scan (Iceberg's ``incremental read``): the rows
-        ADDED by commits in ``(since_sid, to_sid]``, straight from the
-        delta manifests' ``new_files`` — no diffing of cumulative file
-        lists, no scan of pre-watermark data. This is what makes a
-        derived pipeline (e.g. incremental curation) O(new data) per run
-        on a growing crawl table instead of O(table).
-
-        Semantics: an INSERT-ONLY view of the range — merge-on-read
-        upsert commits contribute their (re-crawled) rows, but equality
-        deletes are NOT applied and metadata-only commits contribute
-        nothing. Raises ``ValueError`` when the range crosses a
-        compacted/sealed/legacy-cumulative manifest (the per-commit
-        provenance no longer exists there); callers fall back to a full
-        ``read()`` — any keyed MERGE downstream makes that fallback
-        merely slower, never wrong."""
-        to_sid = self.snapshot_id() if to_sid is None else to_sid
+    def _range_walk(self, since_sid: int,
+                    to_sid: int) -> tuple[list, list]:
+        """Per-commit provenance of ``(since_sid, to_sid]``:
+        ``([(sid, [files...]) oldest-first], [delete entries])``. Raises
+        ``ValueError`` when the range crosses a compacted/sealed/
+        legacy-cumulative manifest (per-commit provenance gone) or
+        ``since_sid`` is not an ancestor of ``to_sid``."""
         if since_sid > to_sid:
             raise ValueError(f"since {since_sid} is newer than {to_sid}")
-        schema = self.schema_at(to_sid)
-        new_files: list[str] = []
+        groups: list = []
+        deletes: list = []
         cur = to_sid
         while cur and cur > since_sid:
             m = self._manifest(cur)
@@ -230,30 +219,105 @@ class IceliteTable:
                 raise ValueError(
                     f"commit {cur} is a full/sealed manifest — "
                     f"per-commit changes below it are unavailable")
-            new_files.extend(m.get("new_files", []))
+            deletes.extend(m.get("deletes", []))
+            if m.get("new_files"):
+                groups.append((cur, m["new_files"]))
             cur = m["parent"]
         if cur != since_sid:
             raise ValueError(
                 f"snapshot {since_sid} is not an ancestor of {to_sid}")
-        if not new_files:
-            return self.spark.createDataFrame([], schema)
+        groups.reverse()
+        return groups, deletes
+
+    def deletes_in_range(self, since_sid: int,
+                         to_sid: int | None = None) -> list[dict]:
+        """Equality-delete entries committed in ``(since_sid, to_sid]``
+        (``[{"sid", "dir", "key"}, ...]``) — how an incremental consumer
+        learns WHICH keys were replaced/retracted by merge-on-read
+        commits in its delta window (e.g. incremental curation's
+        recrawl retraction). Same ``ValueError`` contract as
+        ``read_changes``."""
+        to_sid = self.snapshot_id() if to_sid is None else to_sid
+        _, deletes = self._range_walk(since_sid, to_sid)
+        return deletes
+
+    def _read_file_group(self, files: list[str],
+                         schema: StructType) -> DataFrame:
+        """One commit's data files → DataFrame (the three layout
+        branches shared by ``read`` and ``read_changes``)."""
         if not self.partition_cols:
-            return self.spark.read.schema(schema).parquet(*new_files)
+            return self.spark.read.schema(schema).parquet(*files)
         if all(os.path.basename(os.path.normpath(f))
-               .startswith("__commit=") for f in new_files):
+               .startswith("__commit=") for f in files):
             reader_schema = StructType(
                 list(schema.fields)
                 + [StructField("__commit", StringType(), True)])
             return (self.spark.read.schema(reader_schema)
                     .option("basePath", os.path.join(self.root, "data"))
-                    .parquet(*new_files)
+                    .parquet(*files)
                     .drop("__commit"))
         parts = [self.spark.read.schema(schema).option("basePath", f)
-                 .parquet(f) for f in new_files]
+                 .parquet(f) for f in files]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def read_changes(self, since_sid: int, to_sid: int | None = None,
+                     apply_deletes: bool = True) -> DataFrame:
+        """Incremental scan (Iceberg's ``incremental read`` / CDC net
+        changes): the rows ADDED by commits in ``(since_sid, to_sid]``,
+        straight from the delta manifests' ``new_files`` — no diffing of
+        cumulative file lists, no scan of pre-watermark data. This is
+        what makes a derived pipeline (e.g. incremental curation)
+        O(new data) per run on a growing crawl table instead of
+        O(table).
+
+        Semantics (r6): the NET additions of the range — equality
+        deletes committed IN the range are applied to in-range rows from
+        older in-range commits (same union'd broadcast anti-join shape
+        as the merge-on-read ``read`` path), so a url recrawled twice in
+        one window contributes only its latest version. Deletes' effect
+        on PRE-range rows is intentionally not represented here (this is
+        an additions view, not a row-level changelog) — consumers that
+        must retract pre-range state read the replaced keys from
+        ``deletes_in_range``. ``apply_deletes=False`` restores the r5
+        raw insert-only view (every in-range version, once per commit).
+        Metadata-only commits contribute nothing. Raises ``ValueError``
+        when the range crosses a compacted/sealed/legacy-cumulative
+        manifest (the per-commit provenance no longer exists there);
+        callers fall back to a full ``read()`` — any keyed MERGE
+        downstream makes that fallback merely slower, never wrong."""
+        to_sid = self.snapshot_id() if to_sid is None else to_sid
+        schema = self.schema_at(to_sid)
+        groups, deletes = self._range_walk(since_sid, to_sid)
+        if not groups:
+            return self.spark.createDataFrame([], schema)
+        if not (apply_deletes and deletes):
+            return self._read_file_group(
+                [f for _, fs in groups for f in fs], schema)
+        parts = [self._read_file_group(fs, schema)
+                 .withColumn("__csid", F.lit(csid))
+                 for csid, fs in groups]
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p)
+        by_key: dict[str, list[dict]] = {}
+        for d in deletes:
+            by_key.setdefault(d["key"], []).append(d)
+        for key, ds in by_key.items():
+            dk = None
+            for d in ds:
+                one = (self.spark.read.parquet(d["dir"])
+                       .select(F.col(key).alias("__dk"),
+                               F.lit(d["sid"]).alias("__dsid")))
+                dk = one if dk is None else dk.unionByName(one)
+            data = data.join(
+                F.broadcast(dk),
+                (F.col(key) == F.col("__dk"))
+                & (F.col("__csid") < F.col("__dsid")),
+                "left_anti")
+        return data.drop("__csid")
 
     def _groups_at(self, sid: int) -> tuple[list, list]:
         """Per-commit file provenance + pending equality deletes at

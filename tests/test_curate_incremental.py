@@ -217,6 +217,148 @@ def test_curate_table_survives_corpus_maintenance(spark, tmp_path):
     assert corpus.read().count() == curate(ext.read()).count()
 
 
+def _recrawl_pages(orig_lo, orig_hi, src_lo):
+    """Pages re-serving urls ``[orig_lo, orig_hi)`` with DIFFERENT
+    content (borrowed from rows ``src_lo..``) and a later warc_ts —
+    the re-crawl shape. Both ranges map to plain-HTML kinds so every
+    page extracts OK."""
+    import pandas as pd
+
+    n = orig_hi - orig_lo
+    new = pages_pandas(src_lo, n).reset_index(drop=True)
+    orig = pages_pandas(orig_lo, n).reset_index(drop=True)
+    new["url"] = orig["url"]
+    new["warc_ts"] = orig["warc_ts"] + pd.Timedelta(days=365)
+    return new
+
+
+def test_recrawl_retraction_mirrors_latest_crawl(spark, tmp_path):
+    """r6 (r5 VERDICT #2): recrawl + incremental curation — a replaced
+    url's OLD text must leave the corpus (retraction via an equality-
+    delete commit) and the NEW text must enter: the corpus mirrors the
+    latest crawl state, never a both-versions content log."""
+    root = str(tmp_path / "rroot")
+    corpus_root = str(tmp_path / "rcorpus")
+    run_extraction(spark, _pages(spark, 0, 100), root)
+    ext = extracted_table(spark, root)
+    r1 = curate_table(spark, corpus_root, ext)
+    assert r1["retracted"] == 0 and r1["inserted"] > 0
+
+    old5 = {r["text"] for r in ext.read()
+            .filter(F.col("url").endswith("/000005")).collect()}
+
+    # re-crawl urls 1..31 with genuinely different content, newer ts
+    # (urls 1..31 avoid the block's dup-text group, which replays row 0)
+    recrawl = _recrawl_pages(1, 31, 301)
+    run_extraction(spark,
+                   spark.createDataFrame(recrawl, schema=PAGES_SCHEMA),
+                   root, recrawl=True)
+    r2 = curate_table(spark, corpus_root, ext)
+    assert r2["retracted"] > 0 and r2["inserted"] > 0
+
+    # the contract: corpus text set == curating the CURRENT table state
+    from sanskrit_ocr_spark.extract.curate import _corpus_schema
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    got = {r["text"] for r in corpus.read().select("text").collect()}
+    want = {r["text"] for r in curate(ext.read())
+            .select("text").collect()}
+    assert got == want
+    # the replaced url's old text is gone, its new text present
+    if old5:
+        assert not (old5 & got)
+    assert r2["corpus_total"] == len(want)
+
+    # no new commits → no-op (watermark advanced with the retraction)
+    before = corpus.snapshot_id()
+    r3 = curate_table(spark, corpus_root, ext)
+    assert r3["inserted"] == 0 and r3["retracted"] == 0
+    assert corpus.snapshot_id() == before
+
+    # retract=False pins the r5 content-log semantics: another recrawl
+    # leaves the superseded text in place and only appends
+    recrawl2 = _recrawl_pages(1, 11, 401)
+    run_extraction(spark,
+                   spark.createDataFrame(recrawl2, schema=PAGES_SCHEMA),
+                   root, recrawl=True)
+    r4 = curate_table(spark, corpus_root, ext, retract=False)
+    assert r4["retracted"] == 0 and r4["inserted"] > 0
+    logged = {r["text"] for r in corpus.read().select("text").collect()}
+    assert want - logged == set()  # nothing removed, only added
+
+
+def test_recrawl_retraction_full_fallback_after_compaction(
+        spark, tmp_path):
+    """Compaction across the watermark destroys the per-commit delete
+    provenance — retraction must fall back to the full repair (corpus
+    pairs no longer present in the current table state) and converge to
+    the same latest-crawl contract."""
+    root = str(tmp_path / "froot")
+    corpus_root = str(tmp_path / "fcorpus")
+    run_extraction(spark, _pages(spark, 0, 100), root)
+    ext = extracted_table(spark, root)
+    curate_table(spark, corpus_root, ext)
+
+    recrawl = _recrawl_pages(1, 31, 301)
+    run_extraction(spark,
+                   spark.createDataFrame(recrawl, schema=PAGES_SCHEMA),
+                   root, recrawl=True)
+    ext.compact(target_partitions=2)
+    ext.expire_snapshots(keep_last=1)
+
+    r = curate_table(spark, corpus_root, ext)
+    assert r["retracted"] > 0
+    from sanskrit_ocr_spark.extract.curate import _corpus_schema
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    got = {r["text"] for r in corpus.read().select("text").collect()}
+    want = {r["text"] for r in curate(ext.read())
+            .select("text").collect()}
+    assert got == want
+
+
+def test_read_changes_is_net_of_in_range_deletes(spark, tmp_path):
+    """r6: read_changes applies in-range equality deletes to in-range
+    rows (Iceberg CDC net-changes) — a key upserted twice in one window
+    contributes only its latest version; apply_deletes=False restores
+    the raw once-per-commit view."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    schema = StructType([StructField("url", StringType(), False),
+                         StructField("warc_ts", TimestampType(), False),
+                         StructField("text", StringType(), False)])
+    t = IceliteTable(spark, str(tmp_path / "net"), schema)
+
+    def batch(lo, hi, tag, day):
+        return spark.createDataFrame(
+            [(f"u{i}", f"2025-07-0{day} 00:00:00", f"{tag}-{i}")
+             for i in range(lo, hi)],
+            "url string, warc_ts string, text string") \
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    t.merge_on_key(batch(0, 10, "v1", 1), "url", order_col="warc_ts")
+    t.merge_upsert_mor(batch(0, 5, "v2", 2), "url", order_col="warc_ts")
+    t.merge_upsert_mor(batch(0, 3, "v3", 3), "url", order_col="warc_ts")
+
+    # range covering all three commits: one row per url, the latest
+    net = t.read_changes(0, 3)
+    assert net.count() == 10
+    got = {r["url"]: r["text"] for r in net.collect()}
+    assert got["u0"] == "v3-0" and got["u3"] == "v2-3" \
+        and got["u7"] == "v1-7"
+    # pre-range rows are NOT retracted by the additions view: a range
+    # starting after the v1 insert sees only the in-range versions
+    assert {r["text"] for r in t.read_changes(1, 3).collect()} \
+        == {f"v3-{i}" for i in range(3)} | {f"v2-{i}" for i in range(3, 5)}
+    # raw insert-only view: every version once per commit
+    assert t.read_changes(0, 3, apply_deletes=False).count() == 18
+    # deletes_in_range surfaces the replaced keys
+    dels = t.deletes_in_range(0, 3)
+    assert [d["sid"] for d in dels] == [3, 2]
+    assert all(d["key"] == "url" for d in dels)
+    assert t.deletes_in_range(2, 3)[0]["sid"] == 3
+
+
 def test_mark_first_null_keys_and_ties(spark):
     """r5 review: NULL keys must form their own group (not be dropped by
     the join), and exact order ties flag every tied row (documented)."""

@@ -243,6 +243,56 @@ def test_warc_stream_empty_batch_commits_nothing(spark, tmp_path):
     assert lineage_table(spark, root).snapshot_id() == 0
 
 
+def test_warc_stream_recrawl_with_continuous_curation(spark, tmp_path):
+    """r6 (r5 VERDICT #2): recrawl=True + curate_root — a re-crawled
+    url's OLD text must leave the corpus (retraction) and the NEW text
+    enter, keeping the corpus equal to curating the current table state
+    instead of silently accumulating both versions forever."""
+    import pandas as pd
+
+    from sanskrit_ocr_spark.datagen.pages import pages_pandas
+    from sanskrit_ocr_spark.extract.curate import curate, _corpus_schema
+    from sanskrit_ocr_spark.sources.warclite import write_warc
+    from sanskrit_ocr_spark.streaming.ingest import start_warc_ingest
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    warc_dir = _write_warc_segments(tmp_path, "warcrecur", 0, 120, files=2)
+    root = str(tmp_path / "recur_out")
+    ckpt = str(tmp_path / "recur_ckpt")
+    corpus_root = str(tmp_path / "recur_corpus")
+    q = start_warc_ingest(spark, warc_dir, root, ckpt,
+                          available_now=True, recrawl=True,
+                          curate_root=corpus_root)
+    q.awaitTermination(300)
+    ext = extracted_table(spark, root)
+    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    old5 = {r["text"] for r in ext.read()
+            .filter(F.col("url").endswith("/000005")).collect()}
+    assert corpus.read().count() > 0
+
+    # land a re-crawl segment: urls 1..41 re-served with different
+    # content (rows 301..341) and a later warc_ts
+    new = pages_pandas(301, 40).reset_index(drop=True)
+    orig = pages_pandas(1, 40).reset_index(drop=True)
+    new["url"] = orig["url"]
+    new["warc_ts"] = orig["warc_ts"] + pd.Timedelta(days=365)
+    write_warc(
+        str(tmp_path / "warcrecur" / "seg-recrawl-00000.warc.gz"),
+        [(r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+         for _, r in new.iterrows()])
+    q = start_warc_ingest(spark, warc_dir, root, ckpt,
+                          available_now=True, recrawl=True,
+                          curate_root=corpus_root)
+    q.awaitTermination(300)
+
+    got = {r["text"] for r in corpus.read().select("text").collect()}
+    want = {r["text"] for r in curate(ext.read())
+            .select("text").collect()}
+    assert got == want
+    if old5:
+        assert not (old5 & got)  # replaced url's old text retracted
+
+
 def test_warc_stream_with_continuous_curation(spark, tmp_path):
     """r5: curate_root threads incremental curation into foreachBatch —
     crawl → extract → curated corpus in ONE streaming job, equal to the
