@@ -17,9 +17,10 @@ def registry() -> tuple[dict, dict]:
     # Insertion order is the driver's check order (it scores the first 50
     # queries() entries): multimodal/ANN/dedup lead so the whole
     # training-data family sits inside the window; with the r4
-    # consolidation the registry holds exactly 50 entries (46 here + the
-    # four flagship x* queries __spark_entry__ prepends), so every entry
-    # gets a driver CORRECTNESS row.
+    # consolidation (and the r6 j1→x7 rotation) the registry holds
+    # exactly 50 entries (45 here + the five flagship x* queries
+    # __spark_entry__ prepends), so every entry gets a driver
+    # CORRECTNESS row.
     from sanskrit_ocr_spark.ops import dedup, multimodal, relational, simsearch, textstats
 
     queries: dict = {}

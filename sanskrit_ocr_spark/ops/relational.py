@@ -634,9 +634,12 @@ FROM part GROUP BY p_brand
 #   r1_event_rollup                        → r2_event_cube (CUBE ⊃ ROLLUP)
 #   g2_supplier_nation                     → j_broadcast_dims
 #   p7_dense_id (r5)                       → w1_top_event_per_user (seq col)
+#   j1_keyed_join (r6)                     → x7_curate_incremental's slot;
+#     the keyed-join capability stays driver-covered by q3_top_revenue
+#     (3-way join), j_broadcast_dims and j3_resume_anti_join, and j1
+#     itself stays oracle-pinned in EXTRA_ORACLES
 QUERIES = {
     "p1_content_gate": p1_content_gate,
-    "j1_keyed_join": j1_keyed_join,
     "j3_resume_anti_join": j3_resume_anti_join,
     "a1_group_stats": a1_group_stats,
     "p3_template_project": p3_template_project,
@@ -657,7 +660,6 @@ QUERIES = {
 
 ORACLES = {
     "p1_content_gate": P1_SQL,
-    "j1_keyed_join": J1_SQL,
     "j3_resume_anti_join": J3_SQL,
     "a1_group_stats": A1_SQL,
     "p3_template_project": P3_SQL,
@@ -680,4 +682,5 @@ ORACLES = {
 # (tests/test_legacy_oracles.py, same comparison discipline as the driver).
 EXTRA_ORACLES = {
     p7_dense_id: P7_SQL,
+    j1_keyed_join: J1_SQL,
 }
