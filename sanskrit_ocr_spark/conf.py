@@ -46,6 +46,11 @@ def build_spark(app: str = "sanskrit-ocr-spark", master: str | None = None,
         "spark.sql.files.maxPartitionBytes": "134217728",
         # Timestamps without timezone surprises.
         "spark.sql.session.timeZone": "UTC",
+        # Write timestamps as INT64 micros, not the deprecated INT96:
+        # INT96 columns carry NO parquet min/max statistics, which would
+        # silently disable icelite's file-level data skipping on
+        # warc_ts (and predicate pushdown row-group skipping generally).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     }
     if extra:
         confs.update(extra)

@@ -52,11 +52,17 @@ EXTRACTED_LAYOUT_SCHEMA = StructType(
 
 def extracted_table(spark: SparkSession, root: str,
                     partitioned: bool = False) -> IceliteTable:
+    # warc_ts bounds ride every commit manifest (file-level data
+    # skipping): crawl batches arrive roughly time-ordered, so a
+    # `warc_ts BETWEEN` read prunes to the matching commits' files
+    # instead of scanning the whole table
     if partitioned:
         return IceliteTable(spark, f"{root}/extracted",
                             EXTRACTED_LAYOUT_SCHEMA,
-                            partition_cols=LAYOUT_COLS)
-    return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA)
+                            partition_cols=LAYOUT_COLS,
+                            stat_cols=["warc_ts"])
+    return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA,
+                        stat_cols=["warc_ts"])
 
 
 def lineage_table(spark: SparkSession, root: str) -> IceliteTable:

