@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from sanskrit_ocr_spark.conf import build_spark
 from sanskrit_ocr_spark.ops.util import keep_first
 
-HOT_COPIES = 1_000_000
+HOT_COPIES = int(os.environ.get("HOTKEY_COPIES", 1_000_000))
 UNIQUE_ROWS = 100_000
 
 

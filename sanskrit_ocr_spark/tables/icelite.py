@@ -79,11 +79,20 @@ class IceliteTable:
 
     def __init__(self, spark: SparkSession, root: str, schema: StructType,
                  partition_cols: list[str] | None = None,
-                 stat_cols: list[str] | None = None):
+                 stat_cols: list[str] | None = None,
+                 bucket: tuple[str, int] | None = None):
         self.spark = spark
         self.root = root
         self.schema = schema  # creation-time schema (pre-evolution base)
         self.partition_cols = partition_cols or []
+        # static key-bucket file layout (Iceberg's ``bucket(N, key)``
+        # partition transform): every commit's files are split into
+        # ``__bucket=pmod(xxhash64(key), N)`` hive subdirectories, so a
+        # keyed MERGE can prune the committed-side scan to just the
+        # batch's buckets (r5 VERDICT #5 — the storage-level complement
+        # of merge_on_key's dynamic ``prefilter_buckets``). The bucket
+        # column is synthetic: added at stage time, dropped on read.
+        self.bucket = tuple(bucket) if bucket else None
         # declared data-skipping columns: every commit records per-file
         # (min, max) for these from the parquet FOOTERS (driver-side,
         # zero Spark jobs) so reads can prune files against range
@@ -130,6 +139,25 @@ class IceliteTable:
         elif not self.stat_cols and os.path.exists(stats_path):
             with open(stats_path) as f:
                 self.stat_cols = json.load(f)["stat_cols"]
+        # bucket layout declaration: persisted at creation, loaded by
+        # later handles (maintenance must rewrite under the same layout)
+        bucket_path = os.path.join(root, "_icelite", "bucket_spec.json")
+        if (self.bucket and not os.path.exists(bucket_path)
+                and self.snapshot_id() == 0):
+            fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump({"key": self.bucket[0], "n": self.bucket[1]}, f)
+            os.replace(tmp, bucket_path)
+        elif not self.bucket and os.path.exists(bucket_path):
+            with open(bucket_path) as f:
+                spec = json.load(f)
+            self.bucket = (spec["key"], spec["n"])
+
+    @property
+    def _phys_cols(self) -> list[str]:
+        """Physical hive layout columns: the user partition spec plus the
+        synthetic ``__bucket`` level when a bucket layout is declared."""
+        return self.partition_cols + (["__bucket"] if self.bucket else [])
 
     @staticmethod
     def stored_partition_cols(root: str) -> list[str] | None:
@@ -167,6 +195,12 @@ class IceliteTable:
                 if "=" in inner and os.path.isdir(
                         os.path.join(sub, inner)):
                     col = inner.split("=", 1)[0]
+                    if col == "__bucket":
+                        # synthetic bucket level: witnesses the layout
+                        # (conclusively NOT user-partitioned at this
+                        # level) without being a partition column
+                        has_data = True
+                        continue
                     if col != "__commit" and col not in cols:
                         cols.append(col)
             if not cols and not has_data:
@@ -374,27 +408,52 @@ class IceliteTable:
         _, deletes = self._range_walk(since_sid, to_sid)
         return deletes
 
-    def _read_file_group(self, files: list[str],
-                         schema: StructType) -> DataFrame:
-        """One commit's data files → DataFrame (the three layout
-        branches shared by ``read`` and ``read_changes``)."""
-        if not self.partition_cols:
+    def _read_file_group(self, files: list[str], schema: StructType,
+                         buckets: list[int] | None = None) -> DataFrame:
+        """One commit group's data files → DataFrame (the three layout
+        branches shared by ``read`` and ``read_changes``). ``buckets``
+        restricts a bucket-layout table to the given ``__bucket``
+        partition values — a filter on the synthetic hive level, so
+        Catalyst's partition pruning drops the other bucket directories
+        at planning time (the scan's inputFiles shrink to the matching
+        buckets)."""
+        from pyspark.sql.types import LongType
+
+        if not self._phys_cols:
             return self.spark.read.schema(schema).parquet(*files)
-        if all(os.path.basename(os.path.normpath(f))
-               .startswith("__commit=") for f in files):
-            reader_schema = StructType(
-                list(schema.fields)
-                + [StructField("__commit", StringType(), True)])
-            return (self.spark.read.schema(reader_schema)
-                    .option("basePath", os.path.join(self.root, "data"))
-                    .parquet(*files)
-                    .drop("__commit"))
-        parts = [self.spark.read.schema(schema).option("basePath", f)
-                 .parquet(f) for f in files]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        if not all(os.path.basename(os.path.normpath(f))
+                   .startswith("__commit=") for f in files):
+            # legacy pre-r3 layout: plain commit-<n> dirs, per-dir scan
+            # (never carries a bucket level — the layout predates it)
+            parts = [self.spark.read.schema(schema).option("basePath", f)
+                     .parquet(f) for f in files]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        paths = files
+        if buckets is not None and self.bucket:
+            # prune at the FILE-LIST level, not via a post-scan filter:
+            # only the matching __bucket= subdirectories are handed to
+            # the reader, so Spark never even LISTS the other buckets'
+            # files — at 10^12 rows the listing itself is a cost
+            names = {f"__bucket={int(b)}" for b in buckets}
+            paths = []
+            for f in files:
+                for dp, dns, _ in os.walk(f):
+                    for dn in sorted(dns):
+                        if dn in names:
+                            paths.append(os.path.join(dp, dn))
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+        extra = [StructField("__commit", StringType(), True)]
+        if self.bucket:
+            extra.append(StructField("__bucket", LongType(), True))
+        out = (self.spark.read
+               .schema(StructType(list(schema.fields) + extra))
+               .option("basePath", os.path.join(self.root, "data"))
+               .parquet(*paths))
+        return out.drop(*[f.name for f in extra])
 
     def read_changes(self, since_sid: int, to_sid: int | None = None,
                      apply_deletes: bool = True) -> DataFrame:
@@ -544,7 +603,8 @@ class IceliteTable:
 
     # -- read -----------------------------------------------------------------
     def read(self, snapshot_id: int | None = None,
-             prune: dict | None = None) -> DataFrame:
+             prune: dict | None = None,
+             buckets: list[int] | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
         immutable, so old snapshots stay readable after later appends).
@@ -559,6 +619,11 @@ class IceliteTable:
         callers still apply the real filter, pruning only shrinks the
         scan (at 10^12 rows, a ts-range read on an append-ordered table
         goes from O(table) to O(matching files)).
+
+        ``buckets``: bucket-layout tables only — restrict the scan to
+        the given ``__bucket`` partition values (Catalyst prunes the
+        other bucket directories at planning time). Returns exactly the
+        rows whose key hashes into those buckets.
 
         Always ONE scan node: explicit file list (unpartitioned) or a
         shared-basePath multi-directory scan where the ``__commit=`` level
@@ -595,14 +660,7 @@ class IceliteTable:
             for csid, gfiles in groups:
                 if not gfiles:
                     continue  # metadata-only commit (schema evolution)
-                if self.partition_cols:
-                    sub = [self.spark.read.schema(schema)
-                           .option("basePath", f).parquet(f) for f in gfiles]
-                    g = sub[0]
-                    for s in sub[1:]:
-                        g = g.unionByName(s)
-                else:
-                    g = self.spark.read.schema(schema).parquet(*gfiles)
+                g = self._read_file_group(gfiles, schema, buckets)
                 parts.append(g.withColumn("__csid", F.lit(csid)))
             data = parts[0]
             for p in parts[1:]:
@@ -623,49 +681,38 @@ class IceliteTable:
                     & (F.col("__csid") < F.col("__dsid")),
                     "left_anti")
             return data.drop("__csid")
-        if not self.partition_cols:
-            return self.spark.read.schema(schema).parquet(*files)
-        if all(os.path.basename(os.path.normpath(f)).startswith("__commit=")
-               for f in files):
-            reader_schema = StructType(
-                list(schema.fields)
-                + [StructField("__commit", StringType(), True)])
-            return (self.spark.read.schema(reader_schema)
-                    .option("basePath", os.path.join(self.root, "data"))
-                    .parquet(*files)
-                    .drop("__commit"))
-        # Legacy layout (pre-r3 partitioned tables committed plain
-        # commit-<n> directories — the hive __commit= level Spark's shared
-        # basePath discovery needs is absent): per-directory union, one
-        # scan node per commit. Appends keep working (the referenced set
-        # goes mixed, still read here); compact() + expire_snapshots()
-        # migrates the table back onto the single-scan fast path.
-        parts = [self.spark.read.schema(schema).option("basePath", f)
-                 .parquet(f) for f in files]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # single-group fast path — one scan node: explicit file list
+        # (unpartitioned), shared-basePath __commit= scan (partitioned/
+        # bucketed), or the legacy pre-r3 per-directory union (compact()
+        # + expire_snapshots() migrates those back onto the fast path)
+        return self._read_file_group(files, schema, buckets)
 
     # -- write ----------------------------------------------------------------
     def _stage_dir(self, sid: int) -> str:
         """Unique staging directory for one writer's attempt at ``sid``.
-        Partitioned layouts use hive ``__commit=`` naming so the shared-
-        basePath read parses the commit level as a partition column."""
+        Partitioned/bucketed layouts use hive ``__commit=`` naming so the
+        shared-basePath read parses the commit level as a partition
+        column."""
         token = uuid.uuid4().hex[:8]
-        name = (f"__commit={sid}-{token}" if self.partition_cols
+        name = (f"__commit={sid}-{token}" if self._phys_cols
                 else f"commit-{sid}-{token}")
         return os.path.join(self.root, "data", name)
 
     def _stage_data(self, df: DataFrame, sid: int) -> tuple[str, list[str]]:
         """Write ``df`` into a fresh unique directory (invisible until the
-        manifest commits). Returns (staging_dir, manifest file entries)."""
+        manifest commits). Returns (staging_dir, manifest file entries).
+        Bucket-layout tables stage under the synthetic ``__bucket`` hive
+        level (computed here, dropped on read)."""
         data_dir = self._stage_dir(sid)
+        if self.bucket:
+            key, n = self.bucket
+            df = df.withColumn(
+                "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
         writer = df.write.mode("error")  # unique dir: must not pre-exist
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
+        if self._phys_cols:
+            writer = writer.partitionBy(*self._phys_cols)
         writer.parquet(data_dir)
-        if self.partition_cols:
+        if self._phys_cols:
             return data_dir, [data_dir]
         return data_dir, sorted(
             os.path.join(data_dir, f)
@@ -823,11 +870,24 @@ class IceliteTable:
         from pyspark.sql import Observation
 
         df = self._first_wins(df, key, order_col)
+        # static bucket layout on the merge key: collect the batch's
+        # distinct bucket ids (≤ N small ints, one tiny job) and prune
+        # the committed-side scan to those hive directories — the
+        # anti-join's build input shrinks from O(table) files to
+        # O(batch-bucket) files at planning time, before any row moves
+        # (r5 VERDICT #5; complements the dynamic prefilter below, which
+        # filters rows of files already read)
+        merge_buckets = None
+        if self.bucket and self.bucket[0] == key:
+            merge_buckets = [
+                r["__b"] for r in df.select(
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(self.bucket[1]))
+                    .alias("__b")).distinct().collect()]
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             parent = self.snapshot_id()
             parent_total = self._total_rows_at(parent)
-            existing = self.read(parent).select(key)
+            existing = self.read(parent, buckets=merge_buckets).select(key)
             if prefilter_buckets:
                 bucket = F.pmod(F.xxhash64(key), F.lit(prefilter_buckets))
                 batch_buckets = df.select(bucket.alias("__mb")).distinct()

@@ -310,8 +310,8 @@ def test_merge_toctou_interleaved_commit_cannot_duplicate_keys(spark, tmp_path):
         snapshot — deterministically opening the exact TOCTOU window."""
         interloper = None
 
-        def read(self, snapshot_id=None):
-            df = super().read(snapshot_id)
+        def read(self, snapshot_id=None, prune=None, buckets=None):
+            df = super().read(snapshot_id, prune, buckets)
             if RacyTable.interloper is not None:
                 hook, RacyTable.interloper = RacyTable.interloper, None
                 hook()
