@@ -136,7 +136,13 @@ def run(spark, df, fn, label):
 
 
 def main() -> int:
-    spark = build_spark(master="local[32]", shuffle_partitions=64)
+    # HOTKEY_COPIES=10_000_000 needs a bigger JVM: the window form
+    # buffers every copy of the hot key in ONE task (that being the
+    # point under measurement), which OOMs Spark's default 1g heap
+    # before it can even be timed.
+    mem = os.environ.get("HOTKEY_DRIVER_MEM")
+    spark = build_spark(master="local[32]", shuffle_partitions=64,
+                        extra={"spark.driver.memory": mem} if mem else None)
     df = corpus(spark)
     df.persist()
     df.count()  # materialize + warm

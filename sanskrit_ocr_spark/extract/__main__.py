@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="semi-join-reduce the committed side of the MERGE "
                         "anti-join via a broadcast key-hash bucket set "
                         "(the 10^12-row shuffle guard; size >> batch keys)")
+    p.add_argument("--bucket-urls", type=int, default=None,
+                   help="create the extracted table under the static "
+                        "bucket(N, url) file layout: commits stage into "
+                        "__bucket hive dirs and the resume MERGE scans "
+                        "only the batch's buckets on the committed side "
+                        "(first run on a fresh --root only; later runs "
+                        "load the persisted layout automatically)")
     p.add_argument("--compact-partitions", type=int, default=8,
                    help="target file count for --maintain compaction")
     p.add_argument("--expire-keep", type=int, default=2,
@@ -98,25 +105,31 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.stream_warc and (args.partitioned
                              or args.salt_partitions is not None
+                             or args.bucket_urls is not None
                              or args.merge_prefilter_buckets is not None):
         # the streaming ingest commits through an unpartitioned table and
         # its own foreachBatch merge; silently ignoring these would make a
         # `--stream-warc --partitioned` run reopen the table under the
-        # wrong layout (r3 ADVICE) — fail loudly instead
+        # wrong layout (r3 ADVICE) — fail loudly instead (a bucket layout
+        # CREATED by a batch run is still honored: reopened handles load
+        # the persisted spec)
         p.error("--stream-warc does not support --partitioned, "
-                "--salt-partitions or --merge-prefilter-buckets")
+                "--salt-partitions, --bucket-urls or "
+                "--merge-prefilter-buckets")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.history and (args.recrawl or args.curate_dest
                          or args.curate_table or args.wet_dest
                          or args.wet_table
                          or args.salt_partitions is not None
+                         or args.bucket_urls is not None
                          or args.merge_prefilter_buckets is not None):
         p.error("--history takes only --root")
     if args.maintain and (args.recrawl
                           or args.curate_dest or args.wet_dest
                           or args.wet_table
                           or args.salt_partitions is not None
+                          or args.bucket_urls is not None
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
@@ -251,7 +264,8 @@ def main(argv: list[str] | None = None) -> int:
                 salt_partitions=args.salt_partitions,
                 partitioned=args.partitioned,
                 merge_prefilter_buckets=args.merge_prefilter_buckets,
-                recrawl=args.recrawl)
+                recrawl=args.recrawl,
+                bucket_urls=args.bucket_urls)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)

@@ -51,18 +51,26 @@ EXTRACTED_LAYOUT_SCHEMA = StructType(
 
 
 def extracted_table(spark: SparkSession, root: str,
-                    partitioned: bool = False) -> IceliteTable:
+                    partitioned: bool = False,
+                    bucket_urls: int | None = None) -> IceliteTable:
     # warc_ts bounds ride every commit manifest (file-level data
     # skipping): crawl batches arrive roughly time-ordered, so a
     # `warc_ts BETWEEN` read prunes to the matching commits' files
     # instead of scanning the whole table
+    #
+    # bucket_urls=N opts the table into the static bucket(N, url) file
+    # layout at CREATION: each commit's files split into __bucket hive
+    # dirs so the resume MERGE prunes its committed-side scan to the
+    # batch's buckets. Only meaningful on the first commit — reopened
+    # handles load the persisted spec automatically.
+    bucket = ("url", bucket_urls) if bucket_urls else None
     if partitioned:
         return IceliteTable(spark, f"{root}/extracted",
                             EXTRACTED_LAYOUT_SCHEMA,
                             partition_cols=LAYOUT_COLS,
-                            stat_cols=["warc_ts"])
+                            stat_cols=["warc_ts"], bucket=bucket)
     return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA,
-                        stat_cols=["warc_ts"])
+                        stat_cols=["warc_ts"], bucket=bucket)
 
 
 def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
@@ -74,7 +82,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    committed_at: datetime | None = None,
                    partitioned: bool = False,
                    merge_prefilter_buckets: int | None = None,
-                   recrawl: bool = False) -> dict:
+                   recrawl: bool = False,
+                   bucket_urls: int | None = None) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
@@ -88,8 +97,14 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     replaces any older row for its url via an equality-delete file —
     O(batch) write amplification (``IceliteTable.merge_upsert_mor``). The
     result gains an ``"updated"`` count.
+
+    ``bucket_urls=N`` (first run against a fresh root only) creates the
+    extracted table under the static bucket(N, url) file layout, so this
+    job's resume MERGE — and every later one — scans only the incoming
+    batch's bucket directories on the committed side.
     """
-    ext = extracted_table(spark, root, partitioned=partitioned)
+    ext = extracted_table(spark, root, partitioned=partitioned,
+                          bucket_urls=bucket_urls)
     lin = lineage_table(spark, root)
 
     todo = pages if recrawl else \

@@ -123,3 +123,42 @@ def test_bucket_layout_survives_maintenance_and_mor(spark, tmp_path):
     # layout probe ignores the synthetic level: the --maintain guard
     # still sees an unpartitioned table
     assert IceliteTable.stored_partition_cols(str(tmp_path / "b")) == []
+
+
+def test_run_extraction_bucket_urls_end_to_end(spark, tmp_path):
+    """CLI-surface wiring: `--bucket-urls N` creates the extracted table
+    under the bucket layout on the first run; the resume delta run and a
+    plain reopened run (no flag) produce byte-identical tables to an
+    unbucketed root."""
+    import glob
+    import os
+    from datetime import datetime
+
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+    from sanskrit_ocr_spark.extract.job import (
+        extracted_table, run_extraction,
+    )
+
+    def pages(lo, hi):
+        return spark.createDataFrame(
+            pages_pandas(lo, hi - lo), schema=PAGES_SCHEMA)
+
+    ts = datetime(2025, 7, 4)
+    plain, bucketed = str(tmp_path / "plain"), str(tmp_path / "buck")
+    r1 = run_extraction(spark, pages(0, 100), bucketed, committed_at=ts,
+                        bucket_urls=N_BUCKETS)
+    # delta run WITHOUT the flag: reopened handle loads the persisted spec
+    r2 = run_extraction(spark, pages(0, 200), bucketed, committed_at=ts)
+    run_extraction(spark, pages(0, 100), plain, committed_at=ts)
+    run_extraction(spark, pages(0, 200), plain, committed_at=ts)
+    assert r1["inserted"] + r2["inserted"] == 196  # 200 - 4 dup urls
+
+    # physical layout: every data file sits under a __bucket= hive dir
+    files = glob.glob(os.path.join(bucketed, "extracted", "data",
+                                   "**", "*.parquet"), recursive=True)
+    assert files and all("__bucket=" in f for f in files)
+
+    a = extracted_table(spark, bucketed).read()
+    b = extracted_table(spark, plain).read()
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
