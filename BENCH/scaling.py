@@ -333,6 +333,10 @@ def main() -> int:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+MANUAL_SENTINEL = ("<!-- MANUAL SECTIONS BELOW — preserved across "
+                   "scaling.py rewrites -->\n")
+
+
 def _write_md(bench_dir, args, r2, r8s, eff_small, inter,
               ceil_before, ceil_after, ceiling, med_frac, multi):
     effs = inter["sandwich_efficiencies"]
@@ -413,8 +417,16 @@ def _write_md(bench_dir, args, r2, r8s, eff_small, inter,
             "",
         ]
     lines.append("Raw per-pass numbers: `BENCH/scaling_results.json`.")
-    with open(os.path.join(bench_dir, "RESULTS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # manual sections (one-off A/B studies appended by hand) live below
+    # the sentinel and survive this rewrite
+    out_path = os.path.join(bench_dir, "RESULTS.md")
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_SENTINEL in prev:
+            manual = prev.split(MANUAL_SENTINEL, 1)[1]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n\n" + MANUAL_SENTINEL + manual)
 
 
 if __name__ == "__main__":

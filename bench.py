@@ -124,6 +124,26 @@ def main() -> int:
         timings["merge_resubmit_prefilter"] = round(
             time.perf_counter() - t0, 3)
 
+        # bucket-layout merge probe (r6): a SMALL batch against a big
+        # committed table is the replay/top-up shape where the static
+        # bucket(N, url) layout pays off — the committed-side anti-join
+        # scan prunes to the batch's bucket DIRECTORIES at the file-list
+        # level. N must be >> batch keys for pruning to bite (a 16-url
+        # batch covers <=16 of 256 buckets; the unbucketed arm scans
+        # every committed file). Table build is untimed (one-off write;
+        # the sum-of-timings headline is unaffected).
+        bucket_root = os.path.join(tmp, "bucket_table")
+        run_extraction(spark, pages, bucket_root, bucket_urls=256)
+        small_batch = pages.orderBy("url").limit(16)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        run_extraction(spark, small_batch, e2e_root)
+        timings["merge_small_batch"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        run_extraction(spark, small_batch, bucket_root)
+        timings["merge_small_batch_bucketed"] = round(
+            time.perf_counter() - t0, 3)
+
         # incremental curation (r5): first run covers the whole table
         # (watermark 0 -> HEAD) — the curate + content-hash MERGE cost;
         # the immediate re-run is the steady-state no-new-data probe

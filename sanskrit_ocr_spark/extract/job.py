@@ -107,8 +107,17 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                           bucket_urls=bucket_urls)
     lin = lineage_table(spark, root)
 
+    # resume probe: on a bucket-layout table, scan only the committed
+    # bucket directories the incoming batch's urls can hash into — a
+    # small replay/top-up batch against a 10^12-row table reads
+    # O(batch-buckets) files instead of O(table). The ids are collected
+    # once and reused by the MERGE below (the extracted batch's urls
+    # are a subset of pages', so these ids are a covering superset)
+    batch_bucket_ids = None if recrawl else \
+        ext.bucket_ids_for(pages, "url")
     todo = pages if recrawl else \
-        pages.join(ext.read().select("url"), "url", "left_anti")
+        pages.join(ext.read(buckets=batch_bucket_ids).select("url"),
+                   "url", "left_anti")
     extracted = extract_pages(todo, salt_partitions=salt_partitions)
     if partitioned:
         extracted = extracted.withColumn(
@@ -141,7 +150,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
         else:
             sid, inserted = ext.merge_on_key(
                 extracted, "url", order_col="warc_ts",
-                prefilter_buckets=merge_prefilter_buckets)
+                prefilter_buckets=merge_prefilter_buckets,
+                bucket_ids=batch_bucket_ids)
         ts = committed_at or datetime.now(timezone.utc)
         lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
         res = {"snapshot_id": sid}

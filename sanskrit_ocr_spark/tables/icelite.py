@@ -602,6 +602,19 @@ class IceliteTable:
         return sid
 
     # -- read -----------------------------------------------------------------
+    def bucket_ids_for(self, df: DataFrame, key: str) -> list[int] | None:
+        """Distinct bucket ids of ``df[key]`` under this table's bucket
+        layout — the ``buckets=`` argument for a read that only needs
+        rows able to match ``df`` on ``key`` (resume probes, MERGE
+        anti-joins). One tiny job (≤N small ints). None when no bucket
+        layout is declared or it is keyed on a different column, so
+        ``read(buckets=bucket_ids_for(...))`` degrades to a full read."""
+        if not (self.bucket and self.bucket[0] == key):
+            return None
+        return [r["__b"] for r in df.select(
+            F.pmod(F.xxhash64(F.col(key)), F.lit(self.bucket[1]))
+            .alias("__b")).distinct().collect()]
+
     def read(self, snapshot_id: int | None = None,
              prune: dict | None = None,
              buckets: list[int] | None = None) -> DataFrame:
@@ -708,6 +721,12 @@ class IceliteTable:
             key, n = self.bucket
             df = df.withColumn(
                 "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+            # hash-distribute on the layout columns before the
+            # partitioned write (Iceberg's hash write-distribution):
+            # without this every write task emits one file into EVERY
+            # bucket it sees — tasks x N tiny files per commit instead
+            # of ~one file per present bucket
+            df = df.repartition(*[F.col(c) for c in self._phys_cols])
         writer = df.write.mode("error")  # unique dir: must not pre-exist
         if self._phys_cols:
             writer = writer.partitionBy(*self._phys_cols)
@@ -829,7 +848,9 @@ class IceliteTable:
     def merge_on_key(self, df: DataFrame, key: str,
                      order_col: str | None = None,
                      prefilter_buckets: int | None = None,
-                     extra_meta: dict | None = None) -> tuple[int, int]:
+                     extra_meta: dict | None = None,
+                     bucket_ids: list[int] | None = None
+                     ) -> tuple[int, int]:
         """``MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED THEN
         INSERT`` — the idempotent-resume checkpoint (north_rule; SURVEY.md J3).
 
@@ -876,13 +897,12 @@ class IceliteTable:
         # anti-join's build input shrinks from O(table) files to
         # O(batch-bucket) files at planning time, before any row moves
         # (r5 VERDICT #5; complements the dynamic prefilter below, which
-        # filters rows of files already read)
-        merge_buckets = None
-        if self.bucket and self.bucket[0] == key:
-            merge_buckets = [
-                r["__b"] for r in df.select(
-                    F.pmod(F.xxhash64(F.col(key)), F.lit(self.bucket[1]))
-                    .alias("__b")).distinct().collect()]
+        # filters rows of files already read). A caller that already
+        # collected ids covering this batch's keys (e.g. the resume
+        # probe in run_extraction) passes them via ``bucket_ids`` — any
+        # SUPERSET of the batch's buckets is exact, it only prunes less.
+        merge_buckets = (bucket_ids if bucket_ids is not None
+                         else self.bucket_ids_for(df, key))
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             parent = self.snapshot_id()

@@ -162,3 +162,53 @@ def test_run_extraction_bucket_urls_end_to_end(spark, tmp_path):
     b = extracted_table(spark, plain).read()
     assert a.columns == b.columns
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bucket_commit_writes_one_file_per_present_bucket(spark, tmp_path):
+    """Hash write-distribution: a commit must not fan out into
+    tasks x buckets tiny files — ~one parquet file per present bucket."""
+    import glob
+    import os
+
+    t = _table(spark, tmp_path, "wd")
+    t.merge_on_key(_batch(spark, 0, 400).repartition(16), "url",
+                   order_col="warc_ts")
+    files = glob.glob(os.path.join(str(tmp_path / "wd"), "data",
+                                   "**", "*.parquet"), recursive=True)
+    # 400 urls cover all 8 buckets; without the pre-write repartition
+    # this would be up to 16 x 8 = 128 files
+    assert len(files) <= N_BUCKETS + 2
+
+
+def test_resume_probe_reads_bucket_pruned(spark, tmp_path):
+    """run_extraction's resume anti-join scans only the incoming batch's
+    bucket directories on a bucket-layout table."""
+    from datetime import datetime
+
+    from sanskrit_ocr_spark.datagen.pages import PAGES_SCHEMA, pages_pandas
+    from sanskrit_ocr_spark.extract.job import (
+        extracted_table, run_extraction,
+    )
+
+    def pages(lo, hi):
+        return spark.createDataFrame(
+            pages_pandas(lo, hi - lo), schema=PAGES_SCHEMA)
+
+    ts = datetime(2025, 7, 4)
+    root = str(tmp_path / "probe")
+    run_extraction(spark, pages(0, 200), root, committed_at=ts,
+                   bucket_urls=64)
+    ext = extracted_table(spark, root)
+
+    batch = pages(0, 3)  # 3 urls -> at most 3 of 64 buckets
+    ids = ext.bucket_ids_for(
+        batch.select("url"), "url")
+    assert ids is not None and 0 < len(ids) <= 3
+    pruned = ext.read(buckets=ids)
+    assert len(pruned.inputFiles()) < len(ext.read().inputFiles())
+    # and the job stays correct end-to-end: full-duplicate batch
+    # inserts nothing, fresh batch inserts its delta
+    r = run_extraction(spark, batch, root, committed_at=ts)
+    assert r["inserted"] == 0
+    r = run_extraction(spark, pages(200, 210), root, committed_at=ts)
+    assert r["inserted"] == 10
