@@ -271,8 +271,8 @@ def main(argv: list[str] | None = None) -> int:
                                 partitioned=args.partitioned)
         lin = lineage_table(spark, args.root).read()
         # ONE Spark job for the summary: the lineage aggregate. The totals
-        # come from merge_on_key's Observation, recorded in the commit
-        # manifest — no extra scan of the extracted table; and
+        # come from merge_on_key's footer-derived counts, recorded in the
+        # commit manifest — no extra scan of the extracted table; and
         # distinct_urls == extracted_total by construction (MERGE on url
         # guarantees key uniqueness; asserted in tests/test_icelite_resume).
         fail_tallies = {

@@ -278,6 +278,28 @@ class IceliteTable:
             return v.isoformat()
         return None
 
+    @staticmethod
+    def _staged_row_count(entries: list[str]) -> int:
+        """Exact row count of a staged commit from its parquet FOOTERS
+        (pyarrow metadata — driver-side, O(files), zero Spark jobs).
+        Ground truth for what the write job actually persisted, immune
+        to optimizer interactions that can drop runtime metrics (an
+        ``Observation`` below a repartition + dynamic-partition write
+        records nothing when the result is empty — measured on 4.1.2)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for entry in entries:
+            if os.path.isdir(entry):
+                paths = [os.path.join(dp, fn)
+                         for dp, _, fns in os.walk(entry)
+                         for fn in fns if fn.endswith(".parquet")]
+            else:
+                paths = [entry]
+            for p in paths:
+                total += pq.ParquetFile(p).metadata.num_rows
+        return total
+
     def _file_stats(self, entries: list[str]) -> dict:
         """Per-entry ``{col: [min, max]}`` for the declared ``stat_cols``,
         read from the staged parquet FOOTERS (pyarrow metadata — driver-
@@ -745,9 +767,9 @@ class IceliteTable:
         never shared, so nothing is clobbered either way.
 
         ``meta``: optional callable evaluated AFTER the staging write job
-        (so Observation metrics are available) whose dict is merged into
-        the manifest — how merge_on_key records per-commit row counts
-        without a second pass.
+        with the staged manifest entries as its argument; its dict is
+        merged into the manifest — how merge_on_key records per-commit
+        row counts (footer-derived) without a second pass.
 
         ``expected_parent``: commit AT this snapshot instead of re-reading
         HEAD — the compare-and-swap arm for callers whose ``df`` was
@@ -766,7 +788,7 @@ class IceliteTable:
         if self.stat_cols:
             manifest["file_stats"] = self._file_stats(new_files)
         if meta is not None:
-            manifest.update(meta())
+            manifest.update(meta(new_files))
         try:
             self._commit_manifest(sid, manifest)
         except ConcurrentCommitError:
@@ -859,9 +881,11 @@ class IceliteTable:
         h5_to_parquet.py:45-48, made key-based). The anti-join's broadcast vs
         sort-merge choice is left to AQE.
 
-        The inserted-row count comes from an ``Observation`` on the write
-        job itself — ONE job per merge, not a count() pass followed by a
-        recomputation of the anti-join for the write.
+        The inserted-row count is read from the staged parquet footers
+        after the write (driver-side, zero extra Spark jobs) — ONE job
+        per merge, not a count() pass followed by a recomputation of the
+        anti-join for the write, and robust where a write-job
+        ``Observation`` is not (see ``_staged_row_count``).
 
         ``prefilter_buckets``: the 10^12-row shuffle guard. The anti-join
         must scan+shuffle the COMMITTED key column every incremental merge;
@@ -888,8 +912,6 @@ class IceliteTable:
         committing an anti-join derived from a stale snapshot (which
         would break key uniqueness).
         """
-        from pyspark.sql import Observation
-
         df = self._first_wins(df, key, order_col)
         # static bucket layout on the merge key: collect the batch's
         # distinct bucket ids (≤ N small ints, one tiny job) and prune
@@ -914,17 +936,21 @@ class IceliteTable:
                 existing = existing.join(
                     F.broadcast(batch_buckets),
                     bucket == F.col("__mb"), "left_semi")
-            obs = Observation()
-            fresh = (df.join(existing, key, "left_anti")
-                     .observe(obs, F.count(F.lit(1)).alias("inserted")))
+            fresh = df.join(existing, key, "left_anti")
+            inserted = 0
 
-            def meta():
-                ins = int(obs.get["inserted"])
-                m = {"inserted": ins}
+            def meta(new_files):
+                # footer-derived count of what the staging job actually
+                # wrote: still ONE Spark job per merge (the write), and
+                # robust where an Observation is not (see
+                # _staged_row_count)
+                nonlocal inserted
+                inserted = self._staged_row_count(new_files)
+                m = {"inserted": inserted}
                 if parent_total is not None:
                     # cumulative count rides the manifest: the job summary
                     # reads it back with zero Spark jobs
-                    m["total_rows"] = parent_total + ins
+                    m["total_rows"] = parent_total + inserted
                 if extra_meta:
                     # caller bookkeeping rides the commit atomically
                     # (e.g. incremental curation's source watermark)
@@ -936,7 +962,7 @@ class IceliteTable:
             except ConcurrentCommitError as e:
                 last_err = e
                 continue
-            return sid, int(obs.get["inserted"])
+            return sid, inserted
         raise last_err  # type: ignore[misc]
 
     def merge_upsert(self, df: DataFrame, key: str,
@@ -1026,8 +1052,6 @@ class IceliteTable:
 
     def _merge_upsert_mor_loop(self, df: DataFrame, keys: DataFrame,
                                key: str) -> tuple[int, int]:
-        from pyspark.sql import Observation
-
         last_err: ConcurrentCommitError | None = None
         for _ in range(3):
             parent = self.snapshot_id()
@@ -1035,10 +1059,8 @@ class IceliteTable:
             prev_total = self._total_rows_at(parent)
             updated = (self.read(parent).select(key)
                        .join(keys, key, "left_semi").count()) if parent else 0
-            obs = Observation()
-            staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            data_dir, new_files = self._stage_data(staged, sid)
-            n_batch = int(obs.get["n"])
+            data_dir, new_files = self._stage_data(df, sid)
+            n_batch = self._staged_row_count(new_files)
             del_dir = os.path.join(
                 self.root, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}")
             keys.write.mode("error").parquet(del_dir)

@@ -72,3 +72,55 @@ def test_lifecycle_fuzz(spark, tmp_path):
             else:
                 t.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
             _check(t, model, f"{seed}/{step}:{op}")
+
+def test_lifecycle_fuzz_bucket_layout(spark, tmp_path):
+    """Same op-interleaving fuzz over a bucket-layout table (r6): every
+    merge runs bucket-pruned against the committed side, maintenance
+    must rewrite under the layout, and after every step a
+    bucket-restricted read must partition the table exactly."""
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    n_buckets = 4
+    for seed in (11,):
+        rng = random.Random(seed)
+        t = IceliteTable(spark, str(tmp_path / f"bfz{seed}"), SCHEMA,
+                        bucket=("url", n_buckets))
+        model: dict = {}
+        day = 1
+        keys = list(range(30))
+        t.merge_on_key(_batch(spark, keys, "v0", day), "url",
+                       order_col="warc_ts")
+        model.update({f"https://ex.org/{k}": f"v0-{k}" for k in keys})
+        _check(t, model, "seed")
+
+        for step in range(10):
+            op = rng.choice(["merge", "merge", "mor", "mor",
+                             "compact", "expire"])
+            day = min(day + 1, 28)
+            lo = rng.randrange(0, 50)
+            ks = list(range(lo, lo + rng.randrange(1, 15)))
+            tag = f"s{step}"
+            if op == "merge":
+                t.merge_on_key(_batch(spark, ks, tag, day), "url",
+                               order_col="warc_ts")
+                for k in ks:
+                    model.setdefault(f"https://ex.org/{k}", f"{tag}-{k}")
+            elif op == "mor":
+                t.merge_upsert_mor(_batch(spark, ks, tag, day), "url",
+                                   order_col="warc_ts")
+                for k in ks:
+                    model[f"https://ex.org/{k}"] = f"{tag}-{k}"
+            elif op == "compact":
+                t.compact(target_partitions=rng.choice([1, 2]))
+            else:
+                t.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+            _check(t, model, f"b{seed}/{step}:{op}")
+            # bucket-restricted reads partition the table: each key
+            # appears in exactly the bucket its hash selects
+            per_bucket = [
+                {r["url"] for r in t.read(buckets=[b]).collect()}
+                for b in range(n_buckets)]
+            union = set().union(*per_bucket)
+            assert union == set(model), f"bucket union b{seed}/{step}"
+            assert sum(len(s) for s in per_bucket) == len(model), \
+                f"bucket overlap b{seed}/{step}"
