@@ -329,3 +329,51 @@ def test_warc_stream_with_continuous_curation(spark, tmp_path):
     q.awaitTermination(300)
     assert corpus.snapshot_id() == before
     assert corpus.read().count() == len(want)
+
+
+def test_stream_ingest_into_bucketed_table(spark, tmp_path):
+    """r6 composition: streaming ingest into a table CREATED under the
+    bucket(N, url) layout (the CLI rejects --bucket-urls on
+    --stream-warc, but a batch-created bucketed table must keep working
+    when later drained into by the stream — reopened handles load the
+    persisted spec and every micro-batch MERGE runs bucket-pruned)."""
+    import glob
+    import os
+    from datetime import datetime
+
+    pages_dir = str(tmp_path / "pages")
+    root = str(tmp_path / "bstream")
+    ckpt = str(tmp_path / "bckpt")
+
+    # create the table bucketed via the batch path (first 40 urls)
+    seed = spark.createDataFrame(pages_pandas(0, 40), schema=PAGES_SCHEMA)
+    run_extraction(spark, seed, root, committed_at=datetime(2025, 7, 4),
+                   bucket_urls=8)
+
+    # stream the full 120 urls: 40 resolve via the (pruned) resume
+    # anti-join, 80 insert
+    _write_pages(spark, pages_dir, 0, 120)
+    q = start_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    t = extracted_table(spark, root)
+    assert t.bucket == ("url", 8)
+    out = t.read()
+    assert out.count() == out.select("url").distinct().count()
+
+    # every data file (batch seed AND streamed commits) is bucketed
+    files = glob.glob(os.path.join(root, "extracted", "data",
+                                   "**", "*.parquet"), recursive=True)
+    assert files and all("__bucket=" in f for f in files)
+
+    # byte-parity with an unbucketed batch run over the same input
+    batch_root = str(tmp_path / "bref")
+    pages = spark.createDataFrame(pages_pandas(0, 120), schema=PAGES_SCHEMA)
+    run_extraction(spark, pages, batch_root,
+                   committed_at=datetime(2025, 7, 4))
+    b = extracted_table(spark, batch_root).read()
+    assert out.count() == b.count()
+    joined = (out.select("url", F.col("text").alias("ta"))
+              .join(b.select("url", F.col("text").alias("tb")), "url"))
+    assert joined.count() == b.count()
+    assert joined.filter(F.col("ta") != F.col("tb")).count() == 0
