@@ -147,3 +147,29 @@ def test_extraction_table_records_warc_ts_bounds(spark, tmp_path):
     assert ext.read(prune={"warc_ts": (None, None)}).count() == \
         ext.read().count()
     assert isinstance(mn, str)
+
+
+def test_prune_composes_with_bucket_layout(spark, tmp_path):
+    """r6 composition: stat-based file skipping and the bucket(N, url)
+    layout stack — a read restricted on BOTH axes scans only files that
+    survive both prunes, with results identical to filter-after-read."""
+    t = _table(spark, tmp_path, "pb", bucket=("url", 4))
+    for day in range(1, 9):
+        t.merge_on_key(_day_batch(spark, day), "url", order_col="warc_ts")
+
+    lo, hi = datetime(2025, 7, 3), datetime(2025, 7, 4, 23, 59, 59)
+    full = t.read()
+    both = t.read(prune={"warc_ts": (lo, hi)}, buckets=[1])
+    expect = full.filter(
+        (F.col("warc_ts") >= lo) & (F.col("warc_ts") <= hi)
+        & (F.pmod(F.xxhash64("url"), F.lit(4)) == 1))
+    got_rows = {(r["url"], r["text"]) for r in
+                both.filter((F.col("warc_ts") >= lo)
+                            & (F.col("warc_ts") <= hi)).collect()}
+    exp_rows = {(r["url"], r["text"]) for r in expect.collect()}
+    assert got_rows == exp_rows and got_rows
+    # both prunes bit: fewer files than either axis alone
+    n_both = len(both.inputFiles())
+    assert n_both < len(t.read(prune={"warc_ts": (lo, hi)}).inputFiles())
+    assert n_both < len(t.read(buckets=[1]).inputFiles())
+    assert all("__bucket=1/" in f for f in both.inputFiles())
