@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
                         "only the batch's buckets on the committed side "
                         "(first run on a fresh --root only; later runs "
                         "load the persisted layout automatically)")
+    p.add_argument("--bucket-hashes", type=int, default=None,
+                   help="create the --curate-table corpus under the "
+                        "static bucket(N, text_md5) file layout, so each "
+                        "incremental curation MERGE scans only the "
+                        "delta's hash buckets on the committed side "
+                        "(first run on a fresh corpus root only; later "
+                        "runs load the persisted layout automatically)")
     p.add_argument("--compact-partitions", type=int, default=8,
                    help="target file count for --maintain compaction")
     p.add_argument("--expire-keep", type=int, default=2,
@@ -106,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream_warc and (args.partitioned
                              or args.salt_partitions is not None
                              or args.bucket_urls is not None
+                             or args.bucket_hashes is not None
                              or args.merge_prefilter_buckets is not None):
         # the streaming ingest commits through an unpartitioned table and
         # its own foreachBatch merge; silently ignoring these would make a
@@ -114,8 +122,10 @@ def main(argv: list[str] | None = None) -> int:
         # CREATED by a batch run is still honored: reopened handles load
         # the persisted spec)
         p.error("--stream-warc does not support --partitioned, "
-                "--salt-partitions, --bucket-urls or "
-                "--merge-prefilter-buckets")
+                "--salt-partitions, --bucket-urls, --bucket-hashes or "
+                "--merge-prefilter-buckets (a bucket layout CREATED by "
+                "a prior batch run is still honored: reopened handles "
+                "load the persisted spec)")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.history and (args.recrawl or args.curate_dest
@@ -123,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                          or args.wet_table
                          or args.salt_partitions is not None
                          or args.bucket_urls is not None
+                         or args.bucket_hashes is not None
                          or args.merge_prefilter_buckets is not None):
         p.error("--history takes only --root")
     if args.maintain and (args.recrawl
@@ -130,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                           or args.wet_table
                           or args.salt_partitions is not None
                           or args.bucket_urls is not None
+                          or args.bucket_hashes is not None
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
@@ -141,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
         # rather than silently dropping an explicitly requested guard
         p.error("--merge-prefilter-buckets applies to the insert-only "
                 "MERGE, not --recrawl")
+    if args.bucket_hashes is not None and not args.curate_table:
+        p.error("--bucket-hashes lays out the --curate-table corpus; "
+                "pass --curate-table (for the extracted table's layout "
+                "use --bucket-urls)")
 
     if args.maintain and args.curate_table and not os.path.isdir(
             os.path.join(args.curate_table, "_icelite")):
@@ -298,7 +314,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.curate_table:
             from sanskrit_ocr_spark.extract.curate import curate_table
             summary["corpus_incremental"] = curate_table(
-                spark, args.curate_table, ext_t)
+                spark, args.curate_table, ext_t,
+                bucket_hashes=args.bucket_hashes)
         if args.wet_table:
             from sanskrit_ocr_spark.extract.wet import export_wet_incremental
             summary["wet_incremental"] = export_wet_incremental(

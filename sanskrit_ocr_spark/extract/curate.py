@@ -99,7 +99,8 @@ def _corpus_schema():
 def curate_table(spark, corpus_root: str, extracted,
                  min_graphemes: int = MIN_GRAPHEMES,
                  prefilter_buckets: int | None = None,
-                 retract: bool = True) -> dict:
+                 retract: bool = True,
+                 bucket_hashes: int | None = None) -> dict:
     """INCREMENTAL curation — the production shape for a growing crawl
     table, where ``--curate-dest``'s full recompute would be O(table)
     per run instead of O(new data):
@@ -143,10 +144,19 @@ def curate_table(spark, corpus_root: str, extracted,
 
     Returns ``{corpus_snapshot, inserted, retracted, watermark,
     corpus_total}``.
+
+    ``bucket_hashes=N`` (first run against a fresh corpus root only)
+    creates the corpus under the static bucket(N, text_md5) layout, so
+    every incremental MERGE's committed-side scan prunes to the
+    delta's hash buckets at the file-list level — the same discipline
+    ``--bucket-urls`` gives the extracted table, on the key the corpus
+    actually merges by. Later runs load the persisted layout.
     """
     from sanskrit_ocr_spark.tables.icelite import IceliteTable
 
-    corpus = IceliteTable(spark, corpus_root, _corpus_schema())
+    corpus = IceliteTable(
+        spark, corpus_root, _corpus_schema(),
+        bucket=("text_md5", bucket_hashes) if bucket_hashes else None)
 
     # latest recorded watermark: every commit inherits caller bookkeeping
     # from its parent (IceliteTable._inherited_meta) and maintenance

@@ -28,6 +28,12 @@ from sanskrit_ocr_spark.extract.__main__ import main
     # --history is metadata-only
     ["--history", "--root", "/tmp/y", "--curate-table", "/tmp/c"],
     ["--history", "--root", "/tmp/y", "--recrawl"],
+    # --bucket-hashes shapes the --curate-table corpus only
+    ["--rows", "10", "--root", "/tmp/y", "--bucket-hashes", "8"],
+    ["--stream-warc", "/tmp/x", "--root", "/tmp/y",
+     "--bucket-hashes", "8"],
+    ["--history", "--root", "/tmp/y", "--bucket-hashes", "8"],
+    ["--maintain", "--root", "/tmp/y", "--bucket-hashes", "8"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],

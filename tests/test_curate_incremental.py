@@ -392,3 +392,47 @@ def test_incremental_curation_over_partitioned_table(spark, tmp_path):
     want = {r["text"] for r in curate(ext.read())
             .select("text").collect()}
     assert got == want
+
+
+def test_curate_table_bucket_hashes_prunes_corpus_merge(
+        spark, tmp_path, monkeypatch):
+    """``bucket_hashes=N`` (CLI ``--bucket-hashes``) lays the corpus out
+    under bucket(N, text_md5), so each incremental run's committed-side
+    MERGE scan is pruned to the delta's hash buckets — and the curated
+    result is identical to the unbucketed full recompute."""
+    root = str(tmp_path / "root7")
+    corpus_root = str(tmp_path / "corpus7")
+    run_extraction(spark, _pages(spark, 0, 200), root)
+    ext = extracted_table(spark, root)
+
+    r1 = curate_table(spark, corpus_root, ext, bucket_hashes=8)
+    assert r1["inserted"] > 0
+
+    # second delta: spy the committed-side read for bucket pruning
+    run_extraction(spark, _pages(spark, 200, 300), root)
+    seen_buckets, scanned = [], []
+    orig_read = IceliteTable.read
+
+    def spy(self, snapshot_id=None, prune=None, buckets=None):
+        df = orig_read(self, snapshot_id, prune, buckets)
+        if buckets is not None and self.root == corpus_root:
+            seen_buckets.append(sorted(buckets))
+            scanned.extend(df.inputFiles())
+        return df
+
+    monkeypatch.setattr(IceliteTable, "read", spy)
+    # reopened WITHOUT bucket_hashes: the persisted spec is loaded
+    r2 = curate_table(spark, corpus_root, ext)
+    monkeypatch.undo()
+    assert r2["inserted"] > 0
+    assert len(seen_buckets) == 1 and 0 < len(seen_buckets[0]) <= 8
+    allowed = {f"__bucket={b}/" for b in seen_buckets[0]}
+    assert scanned and all(any(a in f for a in allowed) for f in scanned)
+
+    corpus = IceliteTable(spark, corpus_root, ext.schema)
+    assert corpus.bucket == ("text_md5", 8)
+    got = {(r["url"], r["text"]) for r in corpus.read()
+           .select("url", "text").collect()}
+    want = {(r["url"], r["text"]) for r in curate(ext.read())
+            .select("url", "text").collect()}
+    assert got == want
