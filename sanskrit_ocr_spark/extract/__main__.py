@@ -93,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                         "only the batch's buckets on the committed side "
                         "(first run on a fresh --root only; later runs "
                         "load the persisted layout automatically)")
+    p.add_argument("--sort-ts", action="store_true",
+                   help="declare warc_ts as the extracted table's write "
+                        "sort order (first run on a fresh --root only): "
+                        "commits range-cluster their files on warc_ts so "
+                        "a ts-range read prunes files INSIDE large "
+                        "commits, not just across them")
     p.add_argument("--bucket-hashes", type=int, default=None,
                    help="create the --curate-table corpus under the "
                         "static bucket(N, text_md5) file layout, so each "
@@ -114,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
                              or args.salt_partitions is not None
                              or args.bucket_urls is not None
                              or args.bucket_hashes is not None
+                             or args.sort_ts
                              or args.merge_prefilter_buckets is not None):
         # the streaming ingest commits through an unpartitioned table and
         # its own foreachBatch merge; silently ignoring these would make a
@@ -122,10 +129,10 @@ def main(argv: list[str] | None = None) -> int:
         # CREATED by a batch run is still honored: reopened handles load
         # the persisted spec)
         p.error("--stream-warc does not support --partitioned, "
-                "--salt-partitions, --bucket-urls, --bucket-hashes or "
-                "--merge-prefilter-buckets (a bucket layout CREATED by "
-                "a prior batch run is still honored: reopened handles "
-                "load the persisted spec)")
+                "--salt-partitions, --bucket-urls, --bucket-hashes, "
+                "--sort-ts or --merge-prefilter-buckets (a bucket/sort "
+                "layout CREATED by a prior batch run is still honored: "
+                "reopened handles load the persisted spec)")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.history and (args.recrawl or args.curate_dest
@@ -134,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                          or args.salt_partitions is not None
                          or args.bucket_urls is not None
                          or args.bucket_hashes is not None
+                         or args.sort_ts
                          or args.merge_prefilter_buckets is not None):
         p.error("--history takes only --root")
     if args.maintain and (args.recrawl
@@ -142,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                           or args.salt_partitions is not None
                           or args.bucket_urls is not None
                           or args.bucket_hashes is not None
+                          or args.sort_ts
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
@@ -281,7 +290,8 @@ def main(argv: list[str] | None = None) -> int:
                 partitioned=args.partitioned,
                 merge_prefilter_buckets=args.merge_prefilter_buckets,
                 recrawl=args.recrawl,
-                bucket_urls=args.bucket_urls)
+                bucket_urls=args.bucket_urls,
+                sort_ts=args.sort_ts)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)

@@ -52,7 +52,8 @@ EXTRACTED_LAYOUT_SCHEMA = StructType(
 
 def extracted_table(spark: SparkSession, root: str,
                     partitioned: bool = False,
-                    bucket_urls: int | None = None) -> IceliteTable:
+                    bucket_urls: int | None = None,
+                    sort_ts: bool = False) -> IceliteTable:
     # warc_ts bounds ride every commit manifest (file-level data
     # skipping): crawl batches arrive roughly time-ordered, so a
     # `warc_ts BETWEEN` read prunes to the matching commits' files
@@ -63,14 +64,23 @@ def extracted_table(spark: SparkSession, root: str,
     # dirs so the resume MERGE prunes its committed-side scan to the
     # batch's buckets. Only meaningful on the first commit — reopened
     # handles load the persisted spec automatically.
+    #
+    # sort_ts=True additionally declares warc_ts as the write sort
+    # order (same creation-time discipline): each commit's files
+    # range-cluster on warc_ts, so a ts probe prunes INSIDE large
+    # commits too, not just across them — at the cost of one extra
+    # range shuffle of the batch per commit.
     bucket = ("url", bucket_urls) if bucket_urls else None
+    sort_cols = ["warc_ts"] if sort_ts else None
     if partitioned:
         return IceliteTable(spark, f"{root}/extracted",
                             EXTRACTED_LAYOUT_SCHEMA,
                             partition_cols=LAYOUT_COLS,
-                            stat_cols=["warc_ts"], bucket=bucket)
+                            stat_cols=["warc_ts"], bucket=bucket,
+                            sort_cols=sort_cols)
     return IceliteTable(spark, f"{root}/extracted", EXTRACTED_SCHEMA,
-                        stat_cols=["warc_ts"], bucket=bucket)
+                        stat_cols=["warc_ts"], bucket=bucket,
+                        sort_cols=sort_cols)
 
 
 def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
@@ -83,7 +93,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    partitioned: bool = False,
                    merge_prefilter_buckets: int | None = None,
                    recrawl: bool = False,
-                   bucket_urls: int | None = None) -> dict:
+                   bucket_urls: int | None = None,
+                   sort_ts: bool = False) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
@@ -102,9 +113,13 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     extracted table under the static bucket(N, url) file layout, so this
     job's resume MERGE — and every later one — scans only the incoming
     batch's bucket directories on the committed side.
+
+    ``sort_ts=True`` (first run against a fresh root only) declares
+    warc_ts as the table's write sort order: commits range-cluster
+    their files on warc_ts so ts-range reads prune inside commits.
     """
     ext = extracted_table(spark, root, partitioned=partitioned,
-                          bucket_urls=bucket_urls)
+                          bucket_urls=bucket_urls, sort_ts=sort_ts)
     lin = lineage_table(spark, root)
 
     # resume probe: on a bucket-layout table, scan only the committed

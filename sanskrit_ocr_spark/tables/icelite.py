@@ -80,7 +80,8 @@ class IceliteTable:
     def __init__(self, spark: SparkSession, root: str, schema: StructType,
                  partition_cols: list[str] | None = None,
                  stat_cols: list[str] | None = None,
-                 bucket: tuple[str, int] | None = None):
+                 bucket: tuple[str, int] | None = None,
+                 sort_cols: list[str] | None = None):
         self.spark = spark
         self.root = root
         self.schema = schema  # creation-time schema (pre-evolution base)
@@ -139,6 +140,25 @@ class IceliteTable:
         elif not self.stat_cols and os.path.exists(stats_path):
             with open(stats_path) as f:
                 self.stat_cols = json.load(f)["stat_cols"]
+        # declared write sort order (Iceberg's ``write.sort-order``):
+        # appends range-cluster their staged files on these columns and
+        # sort rows inside each file, so file-level min/max skipping
+        # prunes INSIDE a commit (without it, every file of a hash-
+        # spread batch spans the batch's whole value range and a range
+        # probe reads them all) and parquet row-group stats prune
+        # inside each file. Persisted like stat_cols so maintenance
+        # handles keep the clustering discipline.
+        self.sort_cols = list(sort_cols) if sort_cols else []
+        sort_path = os.path.join(root, "_icelite", "sort_cols.json")
+        if (self.sort_cols and not os.path.exists(sort_path)
+                and self.snapshot_id() == 0):
+            fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump({"sort_cols": self.sort_cols}, f)
+            os.replace(tmp, sort_path)
+        elif not self.sort_cols and os.path.exists(sort_path):
+            with open(sort_path) as f:
+                self.sort_cols = json.load(f)["sort_cols"]
         # bucket layout declaration: persisted at creation, loaded by
         # later handles (maintenance must rewrite under the same layout)
         bucket_path = os.path.join(root, "_icelite", "bucket_spec.json")
@@ -733,11 +753,18 @@ class IceliteTable:
                 else f"commit-{sid}-{token}")
         return os.path.join(self.root, "data", name)
 
-    def _stage_data(self, df: DataFrame, sid: int) -> tuple[str, list[str]]:
+    def _stage_data(self, df: DataFrame, sid: int,
+                    cluster: bool = True) -> tuple[str, list[str]]:
         """Write ``df`` into a fresh unique directory (invisible until the
         manifest commits). Returns (staging_dir, manifest file entries).
         Bucket-layout tables stage under the synthetic ``__bucket`` hive
-        level (computed here, dropped on read)."""
+        level (computed here, dropped on read).
+
+        ``cluster=False`` skips the declared-sort-order clustering:
+        ``compact`` pre-clusters with an explicit target file count, and
+        ``merge_upsert`` counts via Observations that must ride exactly
+        one execution (repartitionByRange's range-bound sampling pass
+        re-executes the child, which would double-fire them)."""
         data_dir = self._stage_dir(sid)
         if self.bucket:
             key, n = self.bucket
@@ -749,6 +776,25 @@ class IceliteTable:
             # bucket it sees — tasks x N tiny files per commit instead
             # of ~one file per present bucket
             df = df.repartition(*[F.col(c) for c in self._phys_cols])
+        if (cluster and self.sort_cols
+                and all(c in df.columns for c in self.sort_cols)):
+            # declared write sort order. Frames without the sort columns
+            # (e.g. key-only sidecar frames) stage unsorted rather than
+            # fail — the order is a storage optimization, never a
+            # correctness requirement.
+            if self._phys_cols:
+                # one file per hive dir already; in-file ordering still
+                # buys parquet row-group/page pruning within each file
+                df = df.sortWithinPartitions(
+                    *self._phys_cols, *self.sort_cols)
+            else:
+                # keep the incoming parallelism (explicit N disables
+                # AQE's small-batch coalescing, so the file count — and
+                # with it the skipping granularity — stays predictable)
+                n_out = max(1, df.rdd.getNumPartitions())
+                df = df.repartitionByRange(
+                    n_out, *[F.col(c) for c in self.sort_cols]) \
+                    .sortWithinPartitions(*self.sort_cols)
         writer = df.write.mode("error")  # unique dir: must not pre-exist
         if self._phys_cols:
             writer = writer.partitionBy(*self._phys_cols)
@@ -998,7 +1044,8 @@ class IceliteTable:
                     .observe(obs_kept, F.count(F.lit(1)).alias("n")))
             src = (df.select(*current.columns)
                    .observe(obs_src, F.count(F.lit(1)).alias("n")))
-            data_dir, new_files = self._stage_data(kept.unionByName(src), sid)
+            data_dir, new_files = self._stage_data(
+                kept.unionByName(src), sid, cluster=False)
             # both observations ride the single staging job
             n_kept, n_src = int(obs_kept.get["n"]), int(obs_src.get["n"])
             manifest = {**self._inherited_meta(parent),
@@ -1247,16 +1294,20 @@ class IceliteTable:
         parent = self.snapshot_id()
         sid = parent + 1
         current = self.read()
-        # with declared stat columns, compaction RANGE-clusters on them
-        # (Iceberg's rewrite-with-sort-order): a plain repartition would
-        # mix every value range into every output file, widening all
-        # min/max bounds until data skipping can never prune again
-        if self.stat_cols:
+        # with a declared sort order (or, failing that, stat columns),
+        # compaction RANGE-clusters on it (Iceberg's rewrite-with-sort-
+        # order): a plain repartition would mix every value range into
+        # every output file, widening all min/max bounds until data
+        # skipping can never prune again
+        cluster_cols = self.sort_cols or self.stat_cols
+        if cluster_cols:
             staged = current.repartitionByRange(
-                target_partitions, *self.stat_cols)
+                target_partitions, *cluster_cols)
+            if self.sort_cols:
+                staged = staged.sortWithinPartitions(*self.sort_cols)
         else:
             staged = current.repartition(target_partitions)
-        data_dir, files = self._stage_data(staged, sid)
+        data_dir, files = self._stage_data(staged, sid, cluster=False)
         manifest = {"snapshot_id": sid, "parent": parent,
                     "new_files": files, "full": True, "compacted": True,
                     # see merge_upsert: full manifests must carry the schema

@@ -34,6 +34,10 @@ from sanskrit_ocr_spark.extract.__main__ import main
      "--bucket-hashes", "8"],
     ["--history", "--root", "/tmp/y", "--bucket-hashes", "8"],
     ["--maintain", "--root", "/tmp/y", "--bucket-hashes", "8"],
+    # --sort-ts shapes the extracted table's batch write path only
+    ["--stream-warc", "/tmp/x", "--root", "/tmp/y", "--sort-ts"],
+    ["--history", "--root", "/tmp/y", "--sort-ts"],
+    ["--maintain", "--root", "/tmp/y", "--sort-ts"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],
