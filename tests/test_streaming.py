@@ -377,3 +377,55 @@ def test_stream_ingest_into_bucketed_table(spark, tmp_path):
               .join(b.select("url", F.col("text").alias("tb")), "url"))
     assert joined.count() == b.count()
     assert joined.filter(F.col("ta") != F.col("tb")).count() == 0
+
+
+def test_stream_ingest_into_sorted_table(spark, tmp_path):
+    """r6 composition: streaming ingest into a table CREATED with the
+    warc_ts write sort order (the CLI rejects --sort-ts on
+    --stream-warc, but a batch-created sorted table must keep
+    clustering when later drained into by the stream — reopened handles
+    load the persisted spec, so every micro-batch commit stages
+    range-clustered)."""
+    import glob
+    import os
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    pages_dir = str(tmp_path / "spages")
+    root = str(tmp_path / "sstream")
+    ckpt = str(tmp_path / "sckpt")
+
+    seed = spark.createDataFrame(pages_pandas(0, 40), schema=PAGES_SCHEMA)
+    run_extraction(spark, seed, root, committed_at=datetime(2025, 7, 4),
+                   sort_ts=True)
+
+    _write_pages(spark, pages_dir, 0, 120)
+    q = start_ingest(spark, pages_dir, root, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    t = extracted_table(spark, root)
+    assert t.sort_cols == ["warc_ts"]
+    out = t.read()
+    assert out.count() == out.select("url").distinct().count()
+
+    # every data file (batch seed AND streamed commits) is internally
+    # ts-ordered
+    files = glob.glob(os.path.join(root, "extracted", "data",
+                                   "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["warc_ts"])["warc_ts"].to_pylist()
+        assert col == sorted(col)
+
+    # byte-parity with an unsorted batch run over the same input
+    batch_root = str(tmp_path / "sref")
+    pages = spark.createDataFrame(pages_pandas(0, 120), schema=PAGES_SCHEMA)
+    run_extraction(spark, pages, batch_root,
+                   committed_at=datetime(2025, 7, 4))
+    b = extracted_table(spark, batch_root).read()
+    assert out.count() == b.count()
+    joined = (out.select("url", F.col("text").alias("ta"))
+              .join(b.select("url", F.col("text").alias("tb")), "url"))
+    assert joined.count() == b.count()
+    assert joined.filter(F.col("ta") != F.col("tb")).count() == 0
