@@ -124,3 +124,89 @@ def test_lifecycle_fuzz_bucket_layout(spark, tmp_path):
             assert union == set(model), f"bucket union b{seed}/{step}"
             assert sum(len(s) for s in per_bucket) == len(model), \
                 f"bucket overlap b{seed}/{step}"
+
+def test_lifecycle_fuzz_sorted_stats_deletes(spark, tmp_path):
+    """Op-interleaving fuzz over a table with declared stat columns AND
+    write sort order, widened with equality-delete-only and
+    metadata-only commits (r6): after every step the content matches
+    the model, a random ts-range prune + filter returns exactly the
+    model's matching rows, and every committed file stays internally
+    ts-ordered."""
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    def day_of(url):
+        return model_day[url]
+
+    for seed in (7,):
+        rng = random.Random(seed)
+        t = IceliteTable(spark, str(tmp_path / f"sfz{seed}"), SCHEMA,
+                         stat_cols=["warc_ts"], sort_cols=["warc_ts"])
+        model: dict = {}
+        model_day: dict = {}
+        day = 1
+        keys = list(range(30))
+        t.merge_on_key(_batch(spark, keys, "v0", day), "url",
+                       order_col="warc_ts")
+        for k in keys:
+            model[f"https://ex.org/{k}"] = f"v0-{k}"
+            model_day[f"https://ex.org/{k}"] = day
+
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "mor", "mor", "delete",
+                             "compact", "expire", "meta"])
+            day = min(day + 1, 28)
+            lo = rng.randrange(0, 50)
+            ks = list(range(lo, lo + rng.randrange(1, 15)))
+            tag = f"s{step}"
+            if op == "merge":
+                t.merge_on_key(_batch(spark, ks, tag, day), "url",
+                               order_col="warc_ts")
+                for k in ks:
+                    u = f"https://ex.org/{k}"
+                    if u not in model:
+                        model[u] = f"{tag}-{k}"
+                        model_day[u] = day
+            elif op == "mor":
+                t.merge_upsert_mor(_batch(spark, ks, tag, day), "url",
+                                   order_col="warc_ts")
+                for k in ks:
+                    u = f"https://ex.org/{k}"
+                    model[u] = f"{tag}-{k}"
+                    model_day[u] = day
+            elif op == "delete":
+                urls = [f"https://ex.org/{k}" for k in ks]
+                t.delete_keys(
+                    spark.createDataFrame([(u,) for u in urls],
+                                          "url string"), "url")
+                for u in urls:
+                    model.pop(u, None)
+                    model_day.pop(u, None)
+            elif op == "compact":
+                t.compact(target_partitions=rng.choice([1, 2, 4]))
+            elif op == "expire":
+                t.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+            else:
+                t.commit_meta({"fuzz_step": step})
+            _check(t, model, f"s{seed}/{step}:{op}")
+            # random ts-window prune: skipping must stay exact under
+            # every op interleaving
+            d1 = rng.randrange(1, day + 1)
+            d2 = rng.randrange(d1, day + 1)
+            lo_ts = datetime(2025, 7, d1)
+            hi_ts = datetime(2025, 7, d2, 23, 59, 59)
+            got = {r["url"]: r["text"] for r in
+                   t.read(prune={"warc_ts": (lo_ts, hi_ts)})
+                   .filter(F.col("warc_ts").between(
+                       F.lit(lo_ts), F.lit(hi_ts))).collect()}
+            want = {u: v for u, v in model.items()
+                    if d1 <= model_day[u] <= d2}
+            assert got == want, f"prune diverged s{seed}/{step}:{op}"
+            # every committed data file stays internally ts-ordered
+            for f in t.committed_files():
+                col = pq.read_table(f, columns=["warc_ts"])["warc_ts"] \
+                    .to_pylist()
+                assert col == sorted(col), f"unsorted file after {op}"
