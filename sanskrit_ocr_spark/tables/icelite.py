@@ -53,8 +53,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -659,10 +661,13 @@ class IceliteTable:
 
     def read(self, snapshot_id: int | None = None,
              prune: dict | None = None,
-             buckets: list[int] | None = None) -> DataFrame:
+             buckets: list[int] | None = None,
+             tag: str | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
-        immutable, so old snapshots stay readable after later appends).
+        immutable, so old snapshots stay readable after later appends)
+        or to a named ref (``tag=...``; mutually exclusive with
+        ``snapshot_id``).
 
         ``prune``: optional data skipping — ``{col: (lo, hi)}`` range
         predicates (either bound None = unbounded) matched against the
@@ -684,6 +689,10 @@ class IceliteTable:
         shared-basePath multi-directory scan where the ``__commit=`` level
         parses as a synthetic partition column that is dropped after read
         (hive partition columns and their pruning are unaffected)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self.ref(tag)
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
         schema = self.schema_at(sid)
         files = self.files_at(sid)
@@ -859,6 +868,10 @@ class IceliteTable:
         ``ConcurrentCommitError`` (caller re-reads HEAD and retries)
         instead of clobbering its manifest. Then swing HEAD atomically."""
         mpath = os.path.join(self.root, "_icelite", "commits", f"{sid}.json")
+        # wall-clock commit time (Iceberg's snapshot timestamp-ms):
+        # setdefault so maintenance rewrites (seal) that re-serialize an
+        # EXISTING snapshot keep its original time
+        manifest.setdefault("committed_at_ms", int(time.time() * 1000))
         try:
             with open(mpath, "x") as f:
                 json.dump(manifest, f)
@@ -1159,7 +1172,8 @@ class IceliteTable:
             row = {"snapshot_id": cur, "parent": m.get("parent", 0),
                    "kind": kind,
                    "n_files": len(m.get("new_files", m.get("files", [])))}
-            for k in ("inserted", "total_rows", "extracted_watermark"):
+            for k in ("inserted", "total_rows", "extracted_watermark",
+                      "committed_at_ms"):
                 if k in m:
                     row[k] = m[k]
             out.append(row)
@@ -1169,6 +1183,81 @@ class IceliteTable:
                 break  # parent expired — oldest retained snapshot reached
         return out
 
+    # -- named refs & time travel by timestamp ----------------------------------
+    _REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+    def tag(self, name: str, snapshot_id: int | None = None,
+            overwrite: bool = False) -> int:
+        """Pin ``name`` to a snapshot (Iceberg tag): readers time-travel
+        by name (``read(tag=...)``) and ``expire_snapshots`` never drops
+        a tagged snapshot — it clamps its retention window so the whole
+        id-prefix up to the oldest tag survives (icelite expiry is
+        prefix-shaped, so protecting a tag means protecting everything
+        at or above it; drop the tag to release the history). Returns
+        the pinned snapshot id (HEAD when not given)."""
+        if not self._REF_NAME.match(name or ""):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        if not sid or not os.path.exists(os.path.join(
+                self.root, "_icelite", "commits", f"{sid}.json")):
+            raise ValueError(f"no committed snapshot {sid}")
+        refs_dir = os.path.join(self.root, "_icelite", "refs")
+        os.makedirs(refs_dir, exist_ok=True)
+        path = os.path.join(refs_dir, f"{name}.json")
+        if os.path.exists(path) and not overwrite:
+            raise ValueError(f"tag {name!r} exists (overwrite=True to "
+                             "move it)")
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"snapshot_id": sid}, f)
+        os.replace(tmp, path)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        """All named refs, ``{name: snapshot_id}``. Metadata only."""
+        refs_dir = os.path.join(self.root, "_icelite", "refs")
+        if not os.path.isdir(refs_dir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(refs_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(refs_dir, fn)) as f:
+                    out[fn[:-5]] = json.load(f)["snapshot_id"]
+        return out
+
+    def ref(self, name: str) -> int:
+        """Resolve a tag to its snapshot id (KeyError when absent)."""
+        return self.tags()[name]
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the snapshots it protected become expirable."""
+        path = os.path.join(self.root, "_icelite", "refs", f"{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(name)
+        os.remove(path)
+
+    def snapshot_as_of(self, ts) -> int:
+        """Newest snapshot committed at or before ``ts`` (datetime or
+        epoch-ms) — Iceberg's ``TIMESTAMP AS OF`` time travel. Raises
+        ``ValueError`` when every retained snapshot is newer (the
+        matching history was expired, or ``ts`` predates the table).
+        Metadata only: walks the retained parent chain, newest first."""
+        from datetime import datetime as _dt
+        ms = int(ts.timestamp() * 1000) if isinstance(ts, _dt) else int(ts)
+        cur = self.snapshot_id()
+        while cur:
+            m = self._manifest(cur)
+            # legacy manifests without a timestamp are older than any
+            # caller-supplied ts by construction
+            if m.get("committed_at_ms", 0) <= ms:
+                return cur
+            cur = m.get("parent", 0)
+            if cur and not os.path.exists(os.path.join(
+                    self.root, "_icelite", "commits", f"{cur}.json")):
+                break
+        raise ValueError(
+            f"no retained snapshot at or before {ms} (epoch ms)")
+
     # -- maintenance ------------------------------------------------------------
     _STRUCTURAL_KEYS = frozenset({
         "snapshot_id", "parent", "new_files", "files", "full", "schema",
@@ -1176,7 +1265,7 @@ class IceliteTable:
         "file_stats"})
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
-        "upsert_mor"})
+        "upsert_mor", "committed_at_ms"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT
@@ -1340,6 +1429,12 @@ class IceliteTable:
         if not head:
             return []
         oldest_keep = max(1, head - keep_last + 1)
+        # named refs pin history: expiry is prefix-shaped, so the whole
+        # prefix up to the oldest tagged snapshot is retained (Iceberg's
+        # tag-retention contract — drop the tag to release it)
+        tagged = self.tags().values()
+        if tagged:
+            oldest_keep = min(oldest_keep, min(tagged))
         # clamp to the oldest RETAINED manifest: a previous expiry with a
         # smaller window may have already removed manifests inside this
         # one (expiry always removes an id-prefix), and both the keep_files
