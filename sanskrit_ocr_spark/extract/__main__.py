@@ -115,7 +115,35 @@ def main(argv: list[str] | None = None) -> int:
                         "REPLACE older rows per url via the merge-on-read "
                         "upsert (equality-delete files, O(batch) writes) "
                         "instead of the insert-only resume MERGE")
+    p.add_argument("--audit-max-fail-rate", type=float, default=None,
+                   help="write-audit-publish quality gate: after the "
+                        "commit, audit the batch's extraction failure "
+                        "rate (non-OK / processed); a breach ROLLS BACK "
+                        "the staged snapshot (nothing published, tallies "
+                        "reported in the summary's audit block). Implies "
+                        "--publish-branch published unless overridden")
+    p.add_argument("--publish-branch", default=None,
+                   help="fast-forward this branch ref to each accepted "
+                        "snapshot; consumers reading the branch (and the "
+                        "incremental --curate-table/--wet-table paths) "
+                        "never see a staged, unaudited commit; a crash "
+                        "between commit and publish is healed by the "
+                        "next run rolling back to the branch")
     args = p.parse_args(argv)
+    if args.audit_max_fail_rate is not None and not (
+            0.0 <= args.audit_max_fail_rate <= 1.0):
+        p.error("--audit-max-fail-rate must be within [0, 1]")
+    if (args.audit_max_fail_rate is not None
+            or args.publish_branch is not None) and (
+            args.stream_warc or args.history or args.maintain):
+        # the streaming ingest commits through its own foreachBatch merge
+        # (no per-batch audit seam yet); history/maintain don't ingest
+        p.error("--audit-max-fail-rate/--publish-branch apply to batch "
+                "ingestion runs only")
+    if args.audit_max_fail_rate is not None and args.publish_branch is None:
+        # gate without a published pointer would leave a crash window
+        # where unaudited rows are visible at HEAD — default the branch
+        args.publish_branch = "published"
     if args.stream_warc and (args.partitioned
                              or args.salt_partitions is not None
                              or args.bucket_urls is not None
@@ -291,7 +319,9 @@ def main(argv: list[str] | None = None) -> int:
                 merge_prefilter_buckets=args.merge_prefilter_buckets,
                 recrawl=args.recrawl,
                 bucket_urls=args.bucket_urls,
-                sort_ts=args.sort_ts)
+                sort_ts=args.sort_ts,
+                audit_max_fail_rate=args.audit_max_fail_rate,
+                publish_branch=args.publish_branch)
 
         ext_t = extracted_table(spark, args.root,
                                 partitioned=args.partitioned)
@@ -317,6 +347,12 @@ def main(argv: list[str] | None = None) -> int:
             "distinct_urls": total,
             "fail_tallies": fail_tallies,
         }
+        if "audit" in res:
+            summary["audit"] = res["audit"]
+        # downstream incremental consumers read at the published branch
+        # when one is in play — never past it into unaudited staging
+        pub_sid = (ext_t.branches().get(args.publish_branch)
+                   if args.publish_branch else None)
         if args.curate_dest:
             from sanskrit_ocr_spark.extract.curate import curate, write_corpus
             summary["corpus"] = write_corpus(curate(ext_t.read()),
@@ -325,11 +361,11 @@ def main(argv: list[str] | None = None) -> int:
             from sanskrit_ocr_spark.extract.curate import curate_table
             summary["corpus_incremental"] = curate_table(
                 spark, args.curate_table, ext_t,
-                bucket_hashes=args.bucket_hashes)
+                bucket_hashes=args.bucket_hashes, to_sid=pub_sid)
         if args.wet_table:
             from sanskrit_ocr_spark.extract.wet import export_wet_incremental
             summary["wet_incremental"] = export_wet_incremental(
-                spark, args.wet_table, ext_t)
+                spark, args.wet_table, ext_t, to_sid=pub_sid)
         if args.wet_dest:
             from sanskrit_ocr_spark.sources.warclite import write_wet
             segs = write_wet(

@@ -100,7 +100,8 @@ def curate_table(spark, corpus_root: str, extracted,
                  min_graphemes: int = MIN_GRAPHEMES,
                  prefilter_buckets: int | None = None,
                  retract: bool = True,
-                 bucket_hashes: int | None = None) -> dict:
+                 bucket_hashes: int | None = None,
+                 to_sid: int | None = None) -> dict:
     """INCREMENTAL curation — the production shape for a growing crawl
     table, where ``--curate-dest``'s full recompute would be O(table)
     per run instead of O(new data):
@@ -169,7 +170,10 @@ def curate_table(spark, corpus_root: str, extracted,
     sid = corpus.snapshot_id()
     wm = corpus._manifest(sid).get("extracted_watermark", 0) if sid else 0
 
-    head = extracted.snapshot_id()
+    # ``to_sid`` bounds the read at a published snapshot (the
+    # write-audit-publish branch): curation then never consumes a
+    # staged, unaudited commit sitting above the branch
+    head = extracted.snapshot_id() if to_sid is None else to_sid
     if head <= wm:
         return {"corpus_snapshot": sid, "inserted": 0, "retracted": 0,
                 "watermark": wm,

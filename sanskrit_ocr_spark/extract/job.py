@@ -94,7 +94,9 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    merge_prefilter_buckets: int | None = None,
                    recrawl: bool = False,
                    bucket_urls: int | None = None,
-                   sort_ts: bool = False) -> dict:
+                   sort_ts: bool = False,
+                   audit_max_fail_rate: float | None = None,
+                   publish_branch: str | None = None) -> dict:
     """Process every page whose url is not yet in the extracted table.
 
     Returns ``{"snapshot_id": int, "inserted": int}``. Idempotent: calling
@@ -117,10 +119,39 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     ``sort_ts=True`` (first run against a fresh root only) declares
     warc_ts as the table's write sort order: commits range-cluster
     their files on warc_ts so ts-range reads prune inside commits.
+
+    **Write-audit-publish** (Iceberg WAP; north_rule's "no bad batch
+    becomes visible" discipline at 10^12 rows): with
+    ``audit_max_fail_rate=R`` the freshly committed snapshot is STAGED
+    — its batch failure rate (non-OK / processed) is audited, and a
+    breach rolls the table back to the pre-commit snapshot
+    (``IceliteTable.rollback_to``) with the batch's tallies reported in
+    the returned ``"audit"`` block, so nothing is silently dropped but
+    nothing poisoned is published either. With ``publish_branch=NAME``
+    the accepted snapshot is published by fast-forwarding that branch
+    ref; consumers reading ``read(branch=NAME)`` (and the incremental
+    curation/WET paths bounded by ``to_sid``) never observe a staged,
+    unaudited commit. A crash between commit and publish leaves HEAD
+    above the branch; the next audited run discards that unaudited
+    staging first (the branch is the source of truth). On a table that
+    predates the branch, existing data is adopted as published.
     """
     ext = extracted_table(spark, root, partitioned=partitioned,
                           bucket_urls=bucket_urls, sort_ts=sort_ts)
     lin = lineage_table(spark, root)
+
+    if publish_branch is not None:
+        head0 = ext.snapshot_id()
+        published = ext.branches().get(publish_branch)
+        if published is None:
+            if head0:
+                # pre-WAP table: adopt its current state as published
+                ext.set_branch(publish_branch, head0)
+        elif published < head0:
+            # crash (or audit-less writer) between a staged commit and
+            # its publish: the branch is the source of truth — discard
+            # the unaudited staging before the resume probe reads HEAD
+            ext.rollback_to(published)
 
     # resume probe: on a bucket-layout table, scan only the committed
     # bucket directories the incoming batch's urls can hash into — a
@@ -151,6 +182,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
 
     extracted = extracted.persist(StorageLevel.DISK_ONLY)
     try:
+        pre_sid = ext.snapshot_id()
         if recrawl:
             before = ext.row_count()
             sid, updated = ext.merge_upsert_mor(
@@ -167,13 +199,45 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                 extracted, "url", order_col="warc_ts",
                 prefilter_buckets=merge_prefilter_buckets,
                 bucket_ids=batch_bucket_ids)
+        audit = None
+        if audit_max_fail_rate is not None or publish_branch is not None:
+            # audit the STAGED snapshot on its batch tallies (one tiny
+            # job over the persisted UDF output, no table re-scan)
+            tallies = {r["status"]: r["n"] for r in extracted
+                       .groupBy("status").agg(F.count("*").alias("n"))
+                       .collect()}
+            processed = sum(tallies.values())
+            rate = ((processed - tallies.get("OK", 0)) / processed
+                    if processed else 0.0)
+            audit = {"batch_tallies": tallies,
+                     "fail_rate": round(rate, 6)}
+            if audit_max_fail_rate is not None:
+                audit["max_fail_rate"] = audit_max_fail_rate
+                if rate > audit_max_fail_rate:
+                    # REJECT: erase the staged snapshot — no lineage row
+                    # (the snapshot id will be reused), no publish; the
+                    # batch's tallies live on in the audit block so the
+                    # rejection is never a silent drop
+                    ext.rollback_to(pre_sid)
+                    audit.update({"accepted": False,
+                                  "rolled_back_to": pre_sid})
+                    res = {"snapshot_id": pre_sid, "inserted": 0,
+                           "audit": audit}
+                    if recrawl:
+                        res["updated"] = 0
+                    return res
+            audit["accepted"] = True
         ts = committed_at or datetime.now(timezone.utc)
         lin.append(lineage_rows(extracted, snapshot_id=sid, committed_at=ts))
+        if publish_branch is not None:
+            audit["published"] = ext.set_branch(publish_branch, sid)
         res = {"snapshot_id": sid}
         if inserted is not None:
             res["inserted"] = inserted
         if recrawl:
             res["updated"] = updated
+        if audit is not None:
+            res["audit"] = audit
         return res
     finally:
         extracted.unpersist()

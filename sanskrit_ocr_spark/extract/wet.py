@@ -39,7 +39,8 @@ from sanskrit_ocr_spark.ops.util import keep_first
 EXPORTED_SCHEMA = StructType([StructField("url", StringType(), False)])
 
 
-def export_wet_incremental(spark, wet_root: str, extracted) -> dict:
+def export_wet_incremental(spark, wet_root: str, extracted,
+                           to_sid: int | None = None) -> dict:
     """Export OK-status rows added since the last WET watermark as
     conversion segments. Returns ``{segments, records, watermark,
     exported_total}`` (zeros and an unchanged watermark when there is
@@ -57,7 +58,10 @@ def export_wet_incremental(spark, wet_root: str, extracted) -> dict:
     cur = exported.snapshot_id()
     wm = exported._manifest(cur).get("wet_watermark", 0) if cur else 0
 
-    head = extracted.snapshot_id()
+    # ``to_sid`` bounds the export at a published snapshot (the
+    # write-audit-publish branch): staged, unaudited commits above the
+    # branch never ship
+    head = extracted.snapshot_id() if to_sid is None else to_sid
     if head <= wm:
         return {"segments": 0, "records": 0, "watermark": wm,
                 "exported_total": exported.row_count() or 0}

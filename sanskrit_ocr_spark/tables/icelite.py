@@ -110,8 +110,19 @@ class IceliteTable:
         # clears this)
         self._files_cache: dict[int, list[str]] = {}
         self._schema_cache: dict[int, StructType] = {}
+        # rollback epoch: snapshot ids are REUSED after a rollback, so
+        # another handle's memoized resolution for a dropped id would be
+        # silently wrong (not just stale) — every cache hit is gated on
+        # the persisted epoch counter that _complete_rollback bumps
+        self._cache_epoch = self._rollback_epoch()
         os.makedirs(os.path.join(root, "_icelite", "commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        # complete any rollback interrupted mid-flight (write-ahead
+        # intent journal, see rollback_to): a manifest left above HEAD
+        # would collide with the next commit's exclusive create, so the
+        # journal must drain before anything trusts HEAD
+        if os.path.exists(os.path.join(root, "_icelite", "ROLLBACK")):
+            self._complete_rollback()
         # persist the partition spec so maintenance tooling can validate
         # a handle's layout flag against the table's actual layout (r5
         # ADVICE: a legacy 'commit-<n>'-named partitioned table passes a
@@ -260,6 +271,7 @@ class IceliteTable:
         written by compact()/expire_snapshots() — terminate the walk."""
         if not sid:
             return []
+        self._check_rollback_epoch()
         if sid in self._files_cache:
             return list(self._files_cache[sid])
         chain: list[list[str]] = []
@@ -594,6 +606,7 @@ class IceliteTable:
         the parent chain, else the creation-time schema. Memoized."""
         if not sid:
             return self.schema
+        self._check_rollback_epoch()
         if sid in self._schema_cache:
             return self._schema_cache[sid]
         cur = sid
@@ -662,12 +675,14 @@ class IceliteTable:
     def read(self, snapshot_id: int | None = None,
              prune: dict | None = None,
              buckets: list[int] | None = None,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None,
+             branch: str | None = None) -> DataFrame:
         """Read the table at HEAD, or time-travel to ``snapshot_id``
         (Iceberg ``VERSION AS OF`` semantics: a snapshot's file list is
         immutable, so old snapshots stay readable after later appends)
-        or to a named ref (``tag=...``; mutually exclusive with
-        ``snapshot_id``).
+        or to a named ref (``tag=...`` / ``branch=...``; exactly one of
+        the three selectors). Reading a write-audit-publish table at
+        its publish branch never sees a staged, unaudited commit.
 
         ``prune``: optional data skipping — ``{col: (lo, hi)}`` range
         predicates (either bound None = unbounded) matched against the
@@ -689,10 +704,12 @@ class IceliteTable:
         shared-basePath multi-directory scan where the ``__commit=`` level
         parses as a synthetic partition column that is dropped after read
         (hive partition columns and their pruning are unaffected)."""
-        if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
-            snapshot_id = self.ref(tag)
+        named = [n for n in (tag, branch) if n is not None]
+        if named:
+            if snapshot_id is not None or len(named) > 1:
+                raise ValueError(
+                    "pass exactly one of snapshot_id, tag or branch")
+            snapshot_id = self.ref(named[0])
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
         schema = self.schema_at(sid)
         files = self.files_at(sid)
@@ -1195,26 +1212,50 @@ class IceliteTable:
         prefix-shaped, so protecting a tag means protecting everything
         at or above it; drop the tag to release the history). Returns
         the pinned snapshot id (HEAD when not given)."""
+        existing = self._refs().get(name)
+        if existing is not None and existing.get("branch"):
+            raise ValueError(f"{name!r} is a branch (use set_branch to "
+                             "move it; drop_branch to free the name)")
+        if existing is not None and not overwrite:
+            raise ValueError(f"tag {name!r} exists (overwrite=True to "
+                             "move it)")
+        return self._write_ref(name, snapshot_id, branch=False)
+
+    def set_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create or MOVE a named branch ref (Iceberg branch). Unlike a
+        tag a branch moves freely — it is the publish pointer of a
+        write-audit-publish flow: the extraction job commits normally
+        (HEAD advances = the staging state), audits the staged snapshot,
+        and only then fast-forwards the branch, so consumers reading
+        ``read(branch=...)`` never see an unaudited commit. Like tags,
+        branches pin history against ``expire_snapshots``. Returns the
+        snapshot id the branch now points at (HEAD when not given)."""
+        existing = self._refs().get(name)
+        if existing is not None and not existing.get("branch"):
+            raise ValueError(f"{name!r} is a tag (tags are immutable; "
+                             "drop_tag to free the name)")
+        return self._write_ref(name, snapshot_id, branch=True)
+
+    def _write_ref(self, name: str, snapshot_id: int | None,
+                   branch: bool) -> int:
         if not self._REF_NAME.match(name or ""):
-            raise ValueError(f"invalid tag name {name!r}")
+            raise ValueError(f"invalid ref name {name!r}")
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
         if not sid or not os.path.exists(os.path.join(
                 self.root, "_icelite", "commits", f"{sid}.json")):
             raise ValueError(f"no committed snapshot {sid}")
         refs_dir = os.path.join(self.root, "_icelite", "refs")
         os.makedirs(refs_dir, exist_ok=True)
-        path = os.path.join(refs_dir, f"{name}.json")
-        if os.path.exists(path) and not overwrite:
-            raise ValueError(f"tag {name!r} exists (overwrite=True to "
-                             "move it)")
+        body = {"snapshot_id": sid}
+        if branch:
+            body["branch"] = True
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
         with os.fdopen(fd, "w") as f:
-            json.dump({"snapshot_id": sid}, f)
-        os.replace(tmp, path)
+            json.dump(body, f)
+        os.replace(tmp, os.path.join(refs_dir, f"{name}.json"))
         return sid
 
-    def tags(self) -> dict[str, int]:
-        """All named refs, ``{name: snapshot_id}``. Metadata only."""
+    def _refs(self) -> dict[str, dict]:
         refs_dir = os.path.join(self.root, "_icelite", "refs")
         if not os.path.isdir(refs_dir):
             return {}
@@ -1222,12 +1263,23 @@ class IceliteTable:
         for fn in sorted(os.listdir(refs_dir)):
             if fn.endswith(".json"):
                 with open(os.path.join(refs_dir, fn)) as f:
-                    out[fn[:-5]] = json.load(f)["snapshot_id"]
+                    out[fn[:-5]] = json.load(f)
         return out
 
+    def tags(self) -> dict[str, int]:
+        """Immutable named refs, ``{name: snapshot_id}``. Metadata only."""
+        return {n: r["snapshot_id"] for n, r in self._refs().items()
+                if not r.get("branch")}
+
+    def branches(self) -> dict[str, int]:
+        """Movable named refs, ``{name: snapshot_id}``. Metadata only."""
+        return {n: r["snapshot_id"] for n, r in self._refs().items()
+                if r.get("branch")}
+
     def ref(self, name: str) -> int:
-        """Resolve a tag to its snapshot id (KeyError when absent)."""
-        return self.tags()[name]
+        """Resolve a named ref — tag or branch — to its snapshot id
+        (KeyError when absent)."""
+        return self._refs()[name]["snapshot_id"]
 
     def drop_tag(self, name: str) -> None:
         """Remove a tag; the snapshots it protected become expirable."""
@@ -1235,6 +1287,10 @@ class IceliteTable:
         if not os.path.exists(path):
             raise KeyError(name)
         os.remove(path)
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch ref (same mechanics as dropping a tag)."""
+        self.drop_tag(name)
 
     def snapshot_as_of(self, ts) -> int:
         """Newest snapshot committed at or before ``ts`` (datetime or
@@ -1257,6 +1313,101 @@ class IceliteTable:
                 break
         raise ValueError(
             f"no retained snapshot at or before {ms} (epoch ms)")
+
+    # -- rollback (the reject arm of write-audit-publish) ------------------------
+    def rollback_to(self, snapshot_id: int) -> list[int]:
+        """Discard every snapshot NEWER than ``snapshot_id`` and point
+        HEAD back at it (Iceberg's ``rollback_to_snapshot``) — the
+        reject arm of write-audit-publish: a staged commit that fails
+        its audit is erased before any consumer reads past the
+        published branch. Returns the dropped snapshot ids.
+
+        Crash-safe via a write-ahead intent file (``_icelite/ROLLBACK``):
+        snapshot ids are reused after a rollback, so a manifest left
+        above HEAD would permanently collide with the next commit's
+        exclusive create — any later handle's ``__init__`` completes an
+        interrupted rollback from the journal before trusting HEAD.
+        Refuses when a named ref (tag or branch) points above the
+        target: the ref would dangle — move or drop it first. Data
+        files of the dropped snapshots are reclaimed immediately via
+        ``remove_orphans``. Single-maintainer discipline like the other
+        maintenance ops: do not roll back under concurrent writers."""
+        head = self.snapshot_id()
+        if snapshot_id < 0 or snapshot_id > head:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of HEAD {head}")
+        if snapshot_id == head:
+            return []
+        if snapshot_id and not os.path.exists(os.path.join(
+                self.root, "_icelite", "commits", f"{snapshot_id}.json")):
+            raise ValueError(
+                f"snapshot {snapshot_id} was expired; cannot roll back")
+        for name, ref in self._refs().items():
+            if ref["snapshot_id"] > snapshot_id:
+                raise ValueError(
+                    f"ref {name!r} points at snapshot "
+                    f"{ref['snapshot_id']} above the rollback target "
+                    f"{snapshot_id}; move or drop it first")
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"target": snapshot_id}, f)
+        os.replace(tmp, os.path.join(self.root, "_icelite", "ROLLBACK"))
+        self._complete_rollback()
+        return list(range(snapshot_id + 1, head + 1))
+
+    def _complete_rollback(self) -> None:
+        """Finish a journaled rollback (idempotent; called by
+        ``rollback_to`` and by ``__init__`` when it finds a pending
+        intent). Order: swing HEAD first so no reader resolves a
+        manifest this is about to delete, then drop the manifests above
+        the target, then clear the journal and reclaim orphaned data."""
+        intent_path = os.path.join(self.root, "_icelite", "ROLLBACK")
+        with open(intent_path) as f:
+            target = json.load(f)["target"]
+        if self.snapshot_id() != target:
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.join(self.root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                f.write(str(target))
+            os.replace(tmp, self._head_path())
+        commits_dir = os.path.join(self.root, "_icelite", "commits")
+        for name in os.listdir(commits_dir):
+            if name.endswith(".json") and int(name[:-5]) > target:
+                os.remove(os.path.join(commits_dir, name))
+        # dropped snapshot ids WILL be reused by future commits — any
+        # cached resolution for them (in THIS handle or any other live
+        # one) is now wrong: bump the persisted epoch that every cache
+        # hit is gated on, then clear our own
+        epoch = self._rollback_epoch() + 1
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, os.path.join(self.root, "_icelite",
+                                     "ROLLBACK_EPOCH"))
+        os.remove(intent_path)
+        self._files_cache.clear()
+        self._schema_cache.clear()
+        self._cache_epoch = epoch
+        self.remove_orphans()
+
+    def _rollback_epoch(self) -> int:
+        try:
+            with open(os.path.join(self.root, "_icelite",
+                                   "ROLLBACK_EPOCH")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _check_rollback_epoch(self) -> None:
+        """Invalidate memoized file/schema resolutions when ANY handle
+        rolled the table back since they were cached (snapshot-id reuse
+        makes them wrong, not merely stale). One small read per cache
+        hit — the same O(1) metadata cost profile as snapshot_id()."""
+        epoch = self._rollback_epoch()
+        if epoch != self._cache_epoch:
+            self._files_cache.clear()
+            self._schema_cache.clear()
+            self._cache_epoch = epoch
 
     # -- maintenance ------------------------------------------------------------
     _STRUCTURAL_KEYS = frozenset({
@@ -1429,12 +1580,13 @@ class IceliteTable:
         if not head:
             return []
         oldest_keep = max(1, head - keep_last + 1)
-        # named refs pin history: expiry is prefix-shaped, so the whole
-        # prefix up to the oldest tagged snapshot is retained (Iceberg's
-        # tag-retention contract — drop the tag to release it)
-        tagged = self.tags().values()
-        if tagged:
-            oldest_keep = min(oldest_keep, min(tagged))
+        # named refs (tags AND branches) pin history: expiry is
+        # prefix-shaped, so the whole prefix up to the oldest ref is
+        # retained (Iceberg's ref-retention contract — drop or move the
+        # ref to release it)
+        pinned = [r["snapshot_id"] for r in self._refs().values()]
+        if pinned:
+            oldest_keep = min(oldest_keep, min(pinned))
         # clamp to the oldest RETAINED manifest: a previous expiry with a
         # smaller window may have already removed manifests inside this
         # one (expiry always removes an id-prefix), and both the keep_files
