@@ -135,10 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--audit-max-fail-rate must be within [0, 1]")
     if (args.audit_max_fail_rate is not None
             or args.publish_branch is not None) and (
-            args.stream_warc or args.history or args.maintain):
-        # the streaming ingest commits through its own foreachBatch merge
-        # (no per-batch audit seam yet); history/maintain don't ingest
-        p.error("--audit-max-fail-rate/--publish-branch apply to batch "
+            args.history or args.maintain):
+        p.error("--audit-max-fail-rate/--publish-branch apply to "
                 "ingestion runs only")
     if args.audit_max_fail_rate is not None and args.publish_branch is None:
         # gate without a published pointer would leave a crash window
@@ -297,10 +295,25 @@ def main(argv: list[str] | None = None) -> int:
                                   # the post-drain curate_table call in
                                   # the summary then no-ops (watermark
                                   # already caught up) and just reports
-                                  curate_root=args.curate_table)
+                                  curate_root=args.curate_table,
+                                  audit_max_fail_rate=args
+                                  .audit_max_fail_rate,
+                                  publish_branch=args.publish_branch)
             q.awaitTermination()
             res = {"snapshot_id": ext_t.snapshot_id(),
                    "inserted": (ext_t.row_count() or 0) - before}
+            if args.audit_max_fail_rate is not None:
+                # quarantine log: audit-rejected micro-batches (consumed,
+                # tallied, never published)
+                rej_root = os.path.join(args.root, "rejected", "_icelite")
+                res["rejected_batches"] = 0
+                if os.path.isdir(rej_root):
+                    from sanskrit_ocr_spark.streaming.ingest import (
+                        rejected_table,
+                    )
+                    res["rejected_batches"] = (
+                        rejected_table(spark, args.root).read()
+                        .select("batch_id").distinct().count())
         else:
             if args.rows is not None:
                 pages = pages_df(spark, args.rows)
@@ -343,6 +356,8 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot_id": res["snapshot_id"],
             **({"inserted": res["inserted"]} if "inserted" in res else {}),
             **({"updated": res["updated"]} if "updated" in res else {}),
+            **({"rejected_batches": res["rejected_batches"]}
+               if "rejected_batches" in res else {}),
             "extracted_total": total,
             "distinct_urls": total,
             "fail_tallies": fail_tallies,

@@ -87,6 +87,35 @@ def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
     return IceliteTable(spark, f"{root}/lineage", LINEAGE_SCHEMA)
 
 
+def sync_publish_branch(ext: IceliteTable, branch: str) -> None:
+    """Make the publish branch the source of truth before ingesting:
+    adopt a pre-WAP table's current state as published, and roll back
+    any staging left above the branch (a crash between commit and
+    publish, or an audit-less writer) so the resume probe never builds
+    on unaudited rows. Shared by the batch job and the streaming
+    ingest."""
+    head = ext.snapshot_id()
+    published = ext.branches().get(branch)
+    if published is None:
+        if head:
+            ext.set_branch(branch, head)
+    elif published < head:
+        ext.rollback_to(published)
+
+
+def audit_tallies(extracted: DataFrame) -> tuple[dict, float]:
+    """Batch failure tallies + failure rate (non-OK / processed) for the
+    write-audit-publish gate — one tiny job over the (persisted) UDF
+    output, no table re-scan."""
+    tallies = {r["status"]: r["n"] for r in extracted
+               .groupBy("status").agg(F.count("*").alias("n"))
+               .collect()}
+    processed = sum(tallies.values())
+    rate = ((processed - tallies.get("OK", 0)) / processed
+            if processed else 0.0)
+    return tallies, rate
+
+
 def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                    salt_partitions: int | None = None,
                    committed_at: datetime | None = None,
@@ -141,17 +170,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     lin = lineage_table(spark, root)
 
     if publish_branch is not None:
-        head0 = ext.snapshot_id()
-        published = ext.branches().get(publish_branch)
-        if published is None:
-            if head0:
-                # pre-WAP table: adopt its current state as published
-                ext.set_branch(publish_branch, head0)
-        elif published < head0:
-            # crash (or audit-less writer) between a staged commit and
-            # its publish: the branch is the source of truth — discard
-            # the unaudited staging before the resume probe reads HEAD
-            ext.rollback_to(published)
+        sync_publish_branch(ext, publish_branch)
 
     # resume probe: on a bucket-layout table, scan only the committed
     # bucket directories the incoming batch's urls can hash into — a
@@ -201,14 +220,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
                 bucket_ids=batch_bucket_ids)
         audit = None
         if audit_max_fail_rate is not None or publish_branch is not None:
-            # audit the STAGED snapshot on its batch tallies (one tiny
-            # job over the persisted UDF output, no table re-scan)
-            tallies = {r["status"]: r["n"] for r in extracted
-                       .groupBy("status").agg(F.count("*").alias("n"))
-                       .collect()}
-            processed = sum(tallies.values())
-            rate = ((processed - tallies.get("OK", 0)) / processed
-                    if processed else 0.0)
+            tallies, rate = audit_tallies(extracted)
             audit = {"batch_tallies": tallies,
                      "fail_rate": round(rate, 6)}
             if audit_max_fail_rate is not None:

@@ -25,18 +25,48 @@ from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
-from sanskrit_ocr_spark.extract.job import extracted_table, lineage_table
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+    TimestampType,
+)
+
+from sanskrit_ocr_spark.extract.job import (
+    audit_tallies,
+    extracted_table,
+    lineage_table,
+    sync_publish_branch,
+)
 from sanskrit_ocr_spark.extract.pipeline import (
     PAGES_INPUT_SCHEMA,
     extract_pages,
     lineage_rows,
 )
 
+# quarantine log for audit-rejected micro-batches: one row per
+# (batch, fail code) with the batch's failure rate — rejected batches
+# are consumed (their offsets checkpoint; retrying a deterministic
+# parse failure would loop forever) but never SILENTLY dropped
+REJECTED_SCHEMA = StructType([
+    StructField("batch_id", LongType(), False),
+    StructField("fail_code", StringType(), False),
+    StructField("fail_count", LongType(), False),
+    StructField("fail_rate", DoubleType(), False),
+    StructField("audited_at", TimestampType(), False),
+])
+
+
+def rejected_table(spark: SparkSession, root: str):
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    return IceliteTable(spark, f"{root}/rejected", REJECTED_SCHEMA)
+
 
 def start_ingest(spark: SparkSession, pages_dir: str, root: str,
                  checkpoint_dir: str, max_files_per_trigger: int = 16,
                  available_now: bool = False, recrawl: bool = False,
-                 on_batch_committed=None, curate_root: str | None = None):
+                 on_batch_committed=None, curate_root: str | None = None,
+                 audit_max_fail_rate: float | None = None,
+                 publish_branch: str | None = None):
     """Start the streaming extraction job; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``pages_dir`` and
@@ -46,6 +76,15 @@ def start_ingest(spark: SparkSession, pages_dir: str, root: str,
     older rows (last-batch-wins, like the batch CLI's ``--recrawl``), and
     at-least-once redelivery stays harmless because replaying a batch
     re-upserts identical content under the same keys.
+
+    **Write-audit-publish per micro-batch** (``audit_max_fail_rate`` /
+    ``publish_branch``): each micro-batch's commit is STAGED, audited on
+    its failure rate, and either published (the branch fast-forwards)
+    or rolled back. A rejected batch is quarantined, not retried — its
+    offsets still checkpoint (a deterministic parse failure would
+    otherwise redeliver forever) and its tallies are logged to the
+    ``{root}/rejected`` icelite table, so a poisoned crawl dump stalls
+    the published corpus without poisoning it OR wedging the stream.
     """
     stream = (spark.readStream
               .schema(PAGES_INPUT_SCHEMA)
@@ -53,14 +92,17 @@ def start_ingest(spark: SparkSession, pages_dir: str, root: str,
               .parquet(pages_dir))
     return _start_extract_stream(spark, stream, root, checkpoint_dir,
                                  available_now, recrawl,
-                                 on_batch_committed, curate_root)
+                                 on_batch_committed, curate_root,
+                                 audit_max_fail_rate, publish_branch)
 
 
 def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                       checkpoint_dir: str, max_files_per_trigger: int = 16,
                       available_now: bool = False, recrawl: bool = False,
                       on_batch_committed=None,
-                      curate_root: str | None = None):
+                      curate_root: str | None = None,
+                      audit_max_fail_rate: float | None = None,
+                      publish_branch: str | None = None):
     """Streaming extraction straight off a WARC segment landing directory
     — the end-to-end continuous Common-Crawl shape: ``stream_warc``
     (binaryFile source + member-walking records stage) → the SAME
@@ -76,16 +118,24 @@ def start_warc_ingest(spark: SparkSession, warc_dir: str, root: str,
                .filter(F.col("url").isNotNull()))
     return _start_extract_stream(spark, records, root, checkpoint_dir,
                                  available_now, recrawl,
-                                 on_batch_committed, curate_root)
+                                 on_batch_committed, curate_root,
+                                 audit_max_fail_rate, publish_branch)
 
 
 def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                           checkpoint_dir: str, available_now: bool,
                           recrawl: bool = False,
                           on_batch_committed=None,
-                          curate_root: str | None = None):
+                          curate_root: str | None = None,
+                          audit_max_fail_rate: float | None = None,
+                          publish_branch: str | None = None):
     ext = extracted_table(spark, root)
     lin = lineage_table(spark, root)
+    if publish_branch is not None:
+        # branch = source of truth before the stream starts: adopt a
+        # pre-WAP table, and discard any staging a crash left above the
+        # branch (same recovery contract as the batch job)
+        sync_publish_branch(ext, publish_branch)
 
     extracted = extract_pages(pages_stream)
 
@@ -104,12 +154,28 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                 # a lineage row, and one permanent MOR anti-join to every
                 # read until the next compact()
                 return
+            pre_sid = ext.snapshot_id()
             if recrawl:
                 sid, _ = ext.merge_upsert_mor(batch_df, "url",
                                               order_col="warc_ts")
             else:
                 sid, _ = ext.merge_on_key(batch_df, "url",
                                           order_col="warc_ts")
+            if audit_max_fail_rate is not None:
+                tallies, rate = audit_tallies(batch_df)
+                if rate > audit_max_fail_rate:
+                    # REJECT: erase the staged snapshot, quarantine the
+                    # batch's tallies (one row per fail code), and let
+                    # the offsets checkpoint — the batch is consumed,
+                    # never published, never silently dropped
+                    ext.rollback_to(pre_sid)
+                    now = datetime.now(timezone.utc)
+                    rejected_table(spark, root).append(
+                        spark.createDataFrame(
+                            [(int(batch_id), code, int(n), float(rate),
+                              now) for code, n in sorted(tallies.items())],
+                            REJECTED_SCHEMA))
+                    return
             lin.append(lineage_rows(
                 batch_df, snapshot_id=sid,
                 committed_at=datetime.now(timezone.utc)))
@@ -127,6 +193,11 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
                 from sanskrit_ocr_spark.extract.curate import curate_table
 
                 curate_table(spark, curate_root, ext)
+            if publish_branch is not None:
+                # accepted: publish by fast-forwarding the branch (after
+                # lineage + curation so a consumer at the branch always
+                # finds the matching lineage rows)
+                ext.set_branch(publish_branch, sid)
             if on_batch_committed is not None:
                 # test/metrics seam, invoked AFTER the table commit and
                 # BEFORE Spark records the batch's offsets in the

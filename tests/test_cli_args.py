@@ -38,9 +38,7 @@ from sanskrit_ocr_spark.extract.__main__ import main
     ["--stream-warc", "/tmp/x", "--root", "/tmp/y", "--sort-ts"],
     ["--history", "--root", "/tmp/y", "--sort-ts"],
     ["--maintain", "--root", "/tmp/y", "--sort-ts"],
-    # write-audit-publish gates batch ingestion runs only
-    ["--stream-warc", "/tmp/x", "--root", "/tmp/y",
-     "--audit-max-fail-rate", "0.1"],
+    # write-audit-publish gates ingestion runs only (batch or streaming)
     ["--history", "--root", "/tmp/y", "--publish-branch", "published"],
     ["--maintain", "--root", "/tmp/y", "--audit-max-fail-rate", "0.1"],
     ["--rows", "10", "--root", "/tmp/y", "--audit-max-fail-rate", "1.5"],
