@@ -638,12 +638,15 @@ FROM part GROUP BY p_brand
 #     the keyed-join capability stays driver-covered by q3_top_revenue
 #     (3-way join), j_broadcast_dims and j3_resume_anti_join, and j1
 #     itself stays oracle-pinned in EXTRA_ORACLES
+#   p5_danda_join (r6)                     → x8_wap_audit's slot; the
+#     danda/sentence capability stays driver-covered by x1/x3
+#     (sentences_json, n_sentences come from the same kernel) and p5
+#     itself stays oracle-pinned in EXTRA_ORACLES
 QUERIES = {
     "p1_content_gate": p1_content_gate,
     "j3_resume_anti_join": j3_resume_anti_join,
     "a1_group_stats": a1_group_stats,
     "p3_template_project": p3_template_project,
-    "p5_danda_join": p5_danda_join,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
     "j_broadcast_dims": j_broadcast_dims,
@@ -663,7 +666,6 @@ ORACLES = {
     "j3_resume_anti_join": J3_SQL,
     "a1_group_stats": A1_SQL,
     "p3_template_project": P3_SQL,
-    "p5_danda_join": P5_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue": Q3_SQL,
     "j_broadcast_dims": JB_SQL,
@@ -683,4 +685,5 @@ ORACLES = {
 EXTRA_ORACLES = {
     p7_dense_id: P7_SQL,
     j1_keyed_join: J1_SQL,
+    p5_danda_join: P5_SQL,
 }
