@@ -131,15 +131,41 @@ class IceliteTable:
         # commits yet (r6 ADVICE: opening a pre-existing data-bearing
         # table with a mistakenly-partitioned handle must not mint a
         # wrong immutable spec that stored_partition_cols would then
-        # trust over the on-disk layout probe). Never rewritten — the
-        # spec is immutable (partition columns cannot be dropped).
+        # trust over the on-disk layout probe). Rewritten ONLY by
+        # evolve_partition_spec (Iceberg partition-spec evolution): the
+        # file always holds the ACTIVE spec plus the evolution history;
+        # committed files keep their layout forever (attribution is
+        # physical — _entry_layout probes the dir structure, so mixed
+        # layouts read correctly without per-file spec bookkeeping).
         spec_path = os.path.join(root, "_icelite", "partition_spec.json")
         if (not os.path.exists(spec_path) and self.partition_cols
                 and self.snapshot_id() == 0):
             fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
             with os.fdopen(fd, "w") as f:
-                json.dump({"partition_cols": self.partition_cols}, f)
+                json.dump({"partition_cols": self.partition_cols,
+                           "history": [{"cols": self.partition_cols,
+                                        "from_sid": 1}]}, f)
             os.replace(tmp, spec_path)
+        elif os.path.exists(spec_path):
+            with open(spec_path) as f:
+                stored = json.load(f)["partition_cols"]
+            if self.partition_cols and self.partition_cols != stored:
+                # the spec evolved under this handle's feet (or the
+                # caller passed the wrong layout): writing under a stale
+                # spec would silently fork the layout — fail loudly
+                raise ValueError(
+                    f"declared partition_cols {self.partition_cols} != "
+                    f"active spec {stored} at {root}; the spec moves "
+                    "only via evolve_partition_spec")
+            if (not self.partition_cols and stored
+                    and all(c in {f.name for f in schema.fields}
+                            for c in stored)):
+                # adopt the active spec (same auto-load discipline as
+                # stat/sort/bucket specs) when the handle's schema can
+                # express it; legacy partitioned tables whose handle
+                # schema lacks the layout columns stay un-adopted and
+                # are caught by the --maintain stored-spec guard
+                self.partition_cols = stored
         # stat-cols declaration: written at creation, loaded by later
         # handles that don't pass it (e.g. --maintain) so compaction
         # keeps recording skippable bounds
@@ -191,6 +217,81 @@ class IceliteTable:
         """Physical hive layout columns: the user partition spec plus the
         synthetic ``__bucket`` level when a bucket layout is declared."""
         return self.partition_cols + (["__bucket"] if self.bucket else [])
+
+    def evolve_partition_spec(self, new_cols: list[str]) -> int:
+        """Iceberg partition-spec evolution: commits from here on stage
+        under the new hive layout; EXISTING files are never rewritten —
+        at 10^12 rows a re-layout is O(table), so the old files keep
+        their layout and reads union the mixed groups transparently
+        (``_entry_layout`` attribution). ``compact()`` migrates old data
+        to the active spec incrementally, exactly Iceberg's
+        rewrite_data_files story. The new columns must already exist in
+        the current schema (this engine materializes partition values as
+        real columns; evolve after ``add_columns`` when needed), so
+        pre-evolution rows keep them as data columns and post-evolution
+        rows carry them in directory names — same logical schema either
+        way. Evolving to ``[]`` (unpartitioned) is legal. Returns the
+        metadata-only commit recording the evolution."""
+        new_cols = list(new_cols or [])
+        if new_cols == self.partition_cols:
+            raise ValueError(f"{new_cols} is already the active spec")
+        if len(set(new_cols)) != len(new_cols):
+            raise ValueError(f"duplicate columns in {new_cols}")
+        names = {f.name for f in self.current_schema().fields}
+        for c in new_cols:
+            if c.startswith("__") or c not in names:
+                raise ValueError(
+                    f"partition column {c!r} is not in the current "
+                    "schema (add_columns first; __-prefixed names are "
+                    "reserved)")
+        spec_path = os.path.join(self.root, "_icelite",
+                                 "partition_spec.json")
+        history = [{"cols": self.partition_cols, "from_sid": 1}]
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                stored = json.load(f)
+            history = stored.get(
+                "history", [{"cols": stored["partition_cols"],
+                             "from_sid": 1}])
+        # the evolution commit carries the schema so later handles
+        # resolve the layout columns regardless of their creation schema
+        sid = self.commit_meta({
+            "spec_evolved_to": new_cols,
+            "schema": self.current_schema().jsonValue()})
+        history.append({"cols": new_cols, "from_sid": sid})
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"partition_cols": new_cols, "history": history}, f)
+        os.replace(tmp, spec_path)
+        self.partition_cols = new_cols
+        return sid
+
+    @staticmethod
+    def _entry_layout(entry: str) -> tuple[str, ...]:
+        """Physical hive partition columns of one committed entry, probed
+        from the directory structure (synthetic ``__commit``/``__bucket``
+        levels excluded). A plain ``.parquet`` entry is the unpartitioned
+        layout ``()``. Attribution is physical rather than manifest-
+        recorded so seals/compactions/legacy manifests that merge files
+        from many commits need no per-file spec bookkeeping — the layout
+        IS the spec. Driver-side metadata: one listdir per nesting level
+        of ONE representative chain."""
+        base = os.path.basename(os.path.normpath(entry))
+        if not base.startswith("__commit=") or not os.path.isdir(entry):
+            return ()
+        cols: list[str] = []
+        d = entry
+        while True:
+            sub = next(
+                (n for n in sorted(os.listdir(d))
+                 if "=" in n and os.path.isdir(os.path.join(d, n))), None)
+            if sub is None:
+                break
+            col = sub.split("=", 1)[0]
+            if col != "__bucket":
+                cols.append(col)
+            d = os.path.join(d, sub)
+        return tuple(cols)
 
     @staticmethod
     def stored_partition_cols(root: str) -> list[str] | None:
@@ -475,41 +576,66 @@ class IceliteTable:
         buckets)."""
         from pyspark.sql.types import LongType
 
-        if not self._phys_cols:
+        names = [os.path.basename(os.path.normpath(f)) for f in files]
+        if (not self._phys_cols
+                and not any(n.startswith("__commit=") for n in names)):
+            # pure flat layout (never-evolved unpartitioned table): one
+            # scan node, zero filesystem probes
             return self.spark.read.schema(schema).parquet(*files)
-        if not all(os.path.basename(os.path.normpath(f))
-                   .startswith("__commit=") for f in files):
+        # partition-spec evolution leaves MIXED layouts behind: group the
+        # entries by their PHYSICAL layout (probed from the dir
+        # structure) and union one scan per layout — pre-evolution rows
+        # carry the partition values as data columns, post-evolution
+        # rows carry them in directory names, so every group yields the
+        # same logical schema. Never-evolved tables land in exactly one
+        # group and keep their single scan node.
+        flat = [f for f, n in zip(files, names) if n.endswith(".parquet")]
+        legacy = [f for f, n in zip(files, names)
+                  if not n.endswith(".parquet")
+                  and not n.startswith("__commit=")]
+        by_layout: dict[tuple, list[str]] = {}
+        for f, n in zip(files, names):
+            if n.startswith("__commit="):
+                by_layout.setdefault(self._entry_layout(f), []).append(f)
+        parts: list[DataFrame] = []
+        if flat:
+            parts.append(self.spark.read.schema(schema).parquet(*flat))
+        for f in legacy:
             # legacy pre-r3 layout: plain commit-<n> dirs, per-dir scan
             # (never carries a bucket level — the layout predates it)
-            parts = [self.spark.read.schema(schema).option("basePath", f)
-                     .parquet(f) for f in files]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
-        paths = files
-        if buckets is not None and self.bucket:
-            # prune at the FILE-LIST level, not via a post-scan filter:
-            # only the matching __bucket= subdirectories are handed to
-            # the reader, so Spark never even LISTS the other buckets'
-            # files — at 10^12 rows the listing itself is a cost
-            names = {f"__bucket={int(b)}" for b in buckets}
-            paths = []
-            for f in files:
-                for dp, dns, _ in os.walk(f):
-                    for dn in sorted(dns):
-                        if dn in names:
-                            paths.append(os.path.join(dp, dn))
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-        extra = [StructField("__commit", StringType(), True)]
-        if self.bucket:
-            extra.append(StructField("__bucket", LongType(), True))
-        out = (self.spark.read
-               .schema(StructType(list(schema.fields) + extra))
-               .option("basePath", os.path.join(self.root, "data"))
-               .parquet(*paths))
-        return out.drop(*[f.name for f in extra])
+            parts.append(self.spark.read.schema(schema)
+                         .option("basePath", f).parquet(f))
+        for _lay, group in sorted(by_layout.items()):
+            paths = group
+            if buckets is not None and self.bucket:
+                # prune at the FILE-LIST level, not via a post-scan
+                # filter: only the matching __bucket= subdirectories are
+                # handed to the reader, so Spark never even LISTS the
+                # other buckets' files — at 10^12 rows the listing
+                # itself is a cost
+                wanted = {f"__bucket={int(b)}" for b in buckets}
+                paths = []
+                for f in group:
+                    for dp, dns, _ in os.walk(f):
+                        for dn in sorted(dns):
+                            if dn in wanted:
+                                paths.append(os.path.join(dp, dn))
+                if not paths:
+                    continue
+            extra = [StructField("__commit", StringType(), True)]
+            if self.bucket:
+                extra.append(StructField("__bucket", LongType(), True))
+            out = (self.spark.read
+                   .schema(StructType(list(schema.fields) + extra))
+                   .option("basePath", os.path.join(self.root, "data"))
+                   .parquet(*paths))
+            parts.append(out.drop(*[f.name for f in extra]))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_changes(self, since_sid: int, to_sid: int | None = None,
                      apply_deletes: bool = True) -> DataFrame:
@@ -1182,6 +1308,7 @@ class IceliteTable:
                     and not m.get("merged_upsert") and not m.get("upsert_mor")
                     else "upsert" if m.get("merged_upsert")
                     or m.get("upsert_mor") or m.get("deletes")
+                    else "spec" if m.get("spec_evolved_to") is not None
                     else "schema" if m.get("schema_evolved")
                     else "seal" if m.get("full")
                     else "meta" if m.get("meta_only")
@@ -1416,7 +1543,7 @@ class IceliteTable:
         "file_stats"})
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
-        "upsert_mor", "committed_at_ms"})
+        "upsert_mor", "committed_at_ms", "spec_evolved_to"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT

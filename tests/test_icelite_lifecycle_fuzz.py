@@ -210,3 +210,70 @@ def test_lifecycle_fuzz_sorted_stats_deletes(spark, tmp_path):
                 col = pq.read_table(f, columns=["warc_ts"])["warc_ts"] \
                     .to_pylist()
                 assert col == sorted(col), f"unsorted file after {op}"
+
+
+def test_lifecycle_fuzz_spec_evolution(spark, tmp_path):
+    """Op-interleaving fuzz with partition-spec evolution in the mix
+    (r6): the spec toggles between unpartitioned and hive-on-day while
+    merges / MOR upserts / compaction / expiry interleave — content must
+    match the Python model after EVERY step even while commits span
+    several physical layouts."""
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("day", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("text", StringType(), False),
+    ])
+
+    def batch(keys, tag, day):
+        rows = [(f"https://ex.org/{k}", f"d{k % 3}",
+                 f"2025-07-{day:02d} 00:00:00", f"{tag}-{k}")
+                for k in keys]
+        return spark.createDataFrame(
+            rows, "url string, day string, warc_ts string, text string") \
+            .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    for seed in (7, 41):
+        rng = random.Random(seed)
+        t = IceliteTable(spark, str(tmp_path / f"sfz{seed}"), schema)
+        model: dict = {}
+        day = 1
+        keys = list(range(30))
+        t.merge_on_key(batch(keys, "v0", day), "url",
+                       order_col="warc_ts")
+        model.update({f"https://ex.org/{k}": f"v0-{k}" for k in keys})
+        _check(t, model, "seed")
+
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "mor", "mor",
+                             "compact", "expire", "evolve", "evolve"])
+            day = min(day + 1, 28)
+            lo = rng.randrange(0, 50)
+            ks = list(range(lo, lo + rng.randrange(1, 15)))
+            tag = f"s{step}"
+            if op == "merge":
+                t.merge_on_key(batch(ks, tag, day), "url",
+                               order_col="warc_ts")
+                for k in ks:
+                    model.setdefault(f"https://ex.org/{k}", f"{tag}-{k}")
+            elif op == "mor":
+                t.merge_upsert_mor(batch(ks, tag, day), "url",
+                                   order_col="warc_ts")
+                for k in ks:
+                    model[f"https://ex.org/{k}"] = f"{tag}-{k}"
+            elif op == "compact":
+                t.compact(target_partitions=rng.choice([1, 2, 4]))
+            elif op == "expire":
+                t.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+            else:
+                target = ["day"] if t.partition_cols == [] else []
+                t.evolve_partition_spec(target)
+            _check(t, model, f"e{seed}/{step}:{op}")
+            # a day-restricted read stays exact across mixed layouts
+            got = {r["url"]: r["text"] for r in
+                   t.read().filter(F.col("day") == "d1").collect()}
+            want = {u: v for u, v in model.items()
+                    if int(u.rsplit("/", 1)[1]) % 3 == 1}
+            assert got == want, f"day filter diverged e{seed}/{step}:{op}"
