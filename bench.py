@@ -184,6 +184,20 @@ def main() -> int:
             time.perf_counter() - t0, 3)
         dedup.release_caches()
 
+        # same-run hardware calibration: the pure-Python kernel on ONE
+        # core, no Spark/JVM. This box's effective CPU speed swings 2x+
+        # with hypervisor neighbor load (BENCH/RESULTS.md), so absolute
+        # docs/s numbers from different runs are not comparable — the
+        # ratio extract_docs_per_sec / (kernel_1core x cores) is. The
+        # calibration costs ~1-2s and makes every run self-normalizing.
+        from sanskrit_ocr_spark.datagen.pages import pages_pandas
+        from sanskrit_ocr_spark.kernels.page import extract_page
+        cal_rows = [bytes(h) for h in pages_pandas(0, 2000)["html"]]
+        t0 = time.perf_counter()
+        for h in cal_rows:
+            extract_page(h)
+        kernel_1core = round(len(cal_rows) / (time.perf_counter() - t0), 1)
+
         total = round(sum(timings.values()), 3)
         print(json.dumps({
             "metric": "suite_seconds",
@@ -195,6 +209,9 @@ def main() -> int:
             "extract_docs_per_sec": extract_docs_per_sec,
             "extract_passes_docs_per_sec": extract_passes,
             "extract_commit_e2e_docs_per_sec": e2e_docs_per_sec,
+            "kernel_1core_docs_per_sec": kernel_1core,
+            "extract_frac_of_kernel_ceiling": round(
+                extract_docs_per_sec / (kernel_1core * cpus), 3),
             "cpus": cpus,
         }))
         return 0
