@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
                           "--compact-partitions files, expire snapshots "
                           "beyond --expire-keep, and remove orphaned "
                           "data directories")
+    src.add_argument("--evolve-partitioning", action="store_true",
+                     help="metadata-only migration of an UNPARTITIONED "
+                          "extracted table to the warc_day x url-bucket "
+                          "hive layout: adds the layout columns (schema "
+                          "evolution) and evolves the partition spec — "
+                          "NO data rewrite; later runs need "
+                          "--partitioned, and the next --maintain "
+                          "--partitioned compaction migrates + "
+                          "backfills the pre-evolution rows")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir for --stream-warc "
                         "(default: ROOT/_checkpoint)")
@@ -135,9 +144,18 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--audit-max-fail-rate must be within [0, 1]")
     if (args.audit_max_fail_rate is not None
             or args.publish_branch is not None) and (
-            args.history or args.maintain):
+            args.history or args.maintain or args.evolve_partitioning):
         p.error("--audit-max-fail-rate/--publish-branch apply to "
                 "ingestion runs only")
+    if args.evolve_partitioning and (
+            args.partitioned or args.recrawl or args.curate_dest
+            or args.curate_table or args.wet_dest or args.wet_table
+            or args.salt_partitions is not None
+            or args.bucket_urls is not None
+            or args.bucket_hashes is not None or args.sort_ts
+            or args.merge_prefilter_buckets is not None):
+        p.error("--evolve-partitioning takes only --root "
+                "(+ --master / --shuffle-partitions)")
     if args.audit_max_fail_rate is not None and args.publish_branch is None:
         # gate without a published pointer would leave a crash window
         # where unaudited rows are visible at HEAD — default the branch
@@ -217,14 +235,38 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         t = IceliteTable.__new__(IceliteTable)  # read-only handle
         t.root = table_root
-        print(json.dumps({"snapshot_id": t.snapshot_id(),
-                          "total_rows": t.row_count(),
-                          "history": t.history()}))
+        out = {"snapshot_id": t.snapshot_id(),
+               "total_rows": t.row_count(),
+               "history": t.history()}
+        tags, branches = t.tags(), t.branches()
+        if tags or branches:
+            # named refs (WAP publish branches, release tags) are part
+            # of the table's observable state
+            out["refs"] = {**({"tags": tags} if tags else {}),
+                           **({"branches": branches} if branches else {})}
+        print(json.dumps(out))
         return 0
+
+    if args.evolve_partitioning and not os.path.isdir(
+            os.path.join(args.root, "extracted", "_icelite")):
+        print(f"error: no icelite table at {args.root}/extracted",
+              file=sys.stderr)
+        return 2
 
     spark = build_spark(app="extract-job", master=args.master,
                         shuffle_partitions=args.shuffle_partitions)
     try:
+        if args.evolve_partitioning:
+            from sanskrit_ocr_spark.extract.job import (
+                evolve_extracted_layout,
+            )
+            try:
+                print(json.dumps(evolve_extracted_layout(spark,
+                                                         args.root)))
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            return 0
         if args.maintain:
             # lifecycle maintenance (Iceberg's rewrite_data_files /
             # expire_snapshots / remove_orphan_files): compaction also
@@ -248,7 +290,15 @@ def main(argv: list[str] | None = None) -> int:
             ext_t = extracted_table(spark, args.root,
                                     partitioned=args.partitioned)
             n_before = len(ext_t.committed_files())
-            sid = ext_t.compact(target_partitions=args.compact_partitions)
+            # partitioned tables compact through the layout backfill:
+            # deterministic recompute (idempotent on already-correct
+            # rows), and rows written before an --evolve-partitioning
+            # migration get their NULL layout columns filled so the
+            # rewrite lands in proper hive dirs
+            from sanskrit_ocr_spark.extract.job import backfill_layout
+            sid = ext_t.compact(
+                target_partitions=args.compact_partitions,
+                transform=backfill_layout if args.partitioned else None)
             expired = ext_t.expire_snapshots(keep_last=args.expire_keep)
             orphans = ext_t.remove_orphans()
             out = {

@@ -72,6 +72,18 @@ def extracted_table(spark: SparkSession, root: str,
     # range shuffle of the batch per commit.
     bucket = ("url", bucket_urls) if bucket_urls else None
     sort_cols = ["warc_ts"] if sort_ts else None
+    if not partitioned:
+        # a table whose spec was evolved to the hive layout must not be
+        # opened for ingest under the flat handle: new commits would
+        # silently stage flat against the evolved spec (reads would
+        # still be correct — mixed-layout attribution — but the layout
+        # intent would be ignored). Same loud-fail discipline as the
+        # --maintain layout guard.
+        stored = IceliteTable.stored_partition_cols(f"{root}/extracted")
+        if stored:
+            raise ValueError(
+                f"extracted table at {root} uses the partitioned layout "
+                f"{stored}; pass partitioned=True / --partitioned")
     if partitioned:
         return IceliteTable(spark, f"{root}/extracted",
                             EXTRACTED_LAYOUT_SCHEMA,
@@ -85,6 +97,51 @@ def extracted_table(spark: SparkSession, root: str,
 
 def lineage_table(spark: SparkSession, root: str) -> IceliteTable:
     return IceliteTable(spark, f"{root}/lineage", LINEAGE_SCHEMA)
+
+
+def backfill_layout(df: DataFrame) -> DataFrame:
+    """Recompute the physical-layout columns from their source columns
+    (hidden-partitioning derivation: ``warc_day = day(warc_ts)``,
+    ``bucket = pmod(part_hash, 64)``). Deterministic and idempotent —
+    rows that already carry the values get the same values back — so
+    maintenance can apply it unconditionally; rows written BEFORE
+    ``evolve_extracted_layout`` (NULL layout columns) get backfilled
+    during the compaction rewrite."""
+    return (df.withColumn("warc_day", F.to_date("warc_ts"))
+            .withColumn("bucket",
+                        F.pmod(F.col("part_hash"), F.lit(64))
+                        .cast("long")))
+
+
+def evolve_extracted_layout(spark: SparkSession, root: str) -> dict:
+    """Metadata-only migration of an UNPARTITIONED extracted table to
+    the north-rule hive layout (warc_day x url-bucket) — the 10^12-row
+    answer to "we should have partitioned this table": no data is
+    rewritten now. Adds the layout columns (metadata-only schema
+    evolution; old rows read NULL) and evolves the partition spec;
+    subsequent ``--partitioned`` ingest runs stage new commits under
+    the hive layout, reads union the mixed layouts transparently, and
+    the next ``--maintain --partitioned`` pass migrates + BACKFILLS the
+    old rows in its compaction rewrite (``backfill_layout``)."""
+    from pyspark.sql.types import DateType
+
+    stored = IceliteTable.stored_partition_cols(f"{root}/extracted")
+    if stored:
+        raise ValueError(
+            f"extracted table already partitioned on {stored}")
+    ext = extracted_table(spark, root)
+    if not ext.snapshot_id():
+        raise ValueError("empty table: create it partitioned instead "
+                         "(--partitioned on the first ingest run)")
+    have = {f.name for f in ext.current_schema().fields}
+    added = [f for f in (StructField("warc_day", DateType(), True),
+                         StructField("bucket", LongType(), True))
+             if f.name not in have]
+    if added:
+        ext.add_columns(added)
+    sid = ext.evolve_partition_spec(LAYOUT_COLS)
+    return {"snapshot_id": sid, "partition_spec": LAYOUT_COLS,
+            "columns_added": [f.name for f in added]}
 
 
 def sync_publish_branch(ext: IceliteTable, branch: str) -> None:

@@ -1651,16 +1651,27 @@ class IceliteTable:
             cur = m.get("parent", 0)
         return carried
 
-    def compact(self, target_partitions: int = 8) -> int:
+    def compact(self, target_partitions: int = 8,
+                transform=None) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
         (Iceberg ``rewrite_data_files`` analog — incremental appends
         accumulate small files; at web scale the scan's split planning
         drowns in them). The new snapshot's manifest carries the full
         rewritten list (``full: true`` — it REPLACES history for readers);
-        older snapshots keep reading their own immutable files."""
+        older snapshots keep reading their own immutable files.
+
+        ``transform``: optional row-preserving DataFrame→DataFrame map
+        applied during the rewrite — the seam for partition-value
+        BACKFILL after ``evolve_partition_spec`` (rows written before
+        the evolution carry NULL in later-added layout columns; the
+        caller's derivation fills them so the rewrite lands in proper
+        hive dirs instead of ``__HIVE_DEFAULT_PARTITION__``). Must not
+        add, drop or reorder rows (row_count is carried through)."""
         parent = self.snapshot_id()
         sid = parent + 1
         current = self.read()
+        if transform is not None:
+            current = transform(current)
         # with a declared sort order (or, failing that, stat columns),
         # compaction RANGE-clusters on it (Iceberg's rewrite-with-sort-
         # order): a plain repartition would mix every value range into

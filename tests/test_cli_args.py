@@ -43,6 +43,12 @@ from sanskrit_ocr_spark.extract.__main__ import main
     ["--maintain", "--root", "/tmp/y", "--audit-max-fail-rate", "0.1"],
     ["--rows", "10", "--root", "/tmp/y", "--audit-max-fail-rate", "1.5"],
     ["--rows", "10", "--root", "/tmp/y", "--audit-max-fail-rate", "-0.1"],
+    # --evolve-partitioning is a standalone metadata action
+    ["--evolve-partitioning", "--root", "/tmp/y", "--partitioned"],
+    ["--evolve-partitioning", "--root", "/tmp/y", "--rows", "10"],
+    ["--evolve-partitioning", "--root", "/tmp/y", "--sort-ts"],
+    ["--evolve-partitioning", "--root", "/tmp/y",
+     "--publish-branch", "published"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],

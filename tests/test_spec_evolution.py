@@ -169,3 +169,53 @@ def test_expiry_seal_preserves_mixed_layouts(spark, tmp_path):
     # and the sealed table keeps composing with new commits
     _append(spark, t, 60, 70, "d")
     assert t.read().count() == 70
+
+
+def test_evolve_extracted_layout_end_to_end(spark, tmp_path):
+    """The CLI migration story: flat extracted table → metadata-only
+    evolution → partitioned delta ingest → compaction backfills and
+    migrates the pre-evolution rows into proper hive dirs."""
+    from sanskrit_ocr_spark.datagen.pages import pages_df
+    from sanskrit_ocr_spark.extract.job import (
+        backfill_layout,
+        evolve_extracted_layout,
+        extracted_table,
+        run_extraction,
+    )
+
+    root = str(tmp_path / "ev")
+    run_extraction(spark, pages_df(spark, 200), root)      # flat commits
+    res = evolve_extracted_layout(spark, root)
+    assert res["partition_spec"] == ["warc_day", "bucket"]
+    assert sorted(res["columns_added"]) == ["bucket", "warc_day"]
+    with pytest.raises(ValueError):
+        extracted_table(spark, root)       # flat handle now fails loudly
+    with pytest.raises(ValueError):
+        evolve_extracted_layout(spark, root)      # already partitioned
+
+    r = run_extraction(spark, pages_df(spark, 300), root,
+                       partitioned=True)
+    assert r["inserted"] == 98
+    ext = extracted_table(spark, root, partitioned=True)
+    t = ext.read()
+    assert t.count() == 294
+    # pre-evolution rows read NULL layout columns; the delta carries them
+    assert t.filter(F.col("warc_day").isNull()).count() == 196
+    assert t.filter(F.col("warc_day").isNotNull()).count() == 98
+
+    # compaction with the backfill transform migrates + fills everything
+    ext.compact(target_partitions=4, transform=backfill_layout)
+    t2 = ext.read()
+    assert t2.count() == 294
+    assert t2.filter(F.col("warc_day").isNull()).count() == 0
+    assert t2.select("url").distinct().count() == 294
+    # backfilled values equal the derivation for EVERY row
+    bad = t2.filter(
+        (F.col("warc_day") != F.to_date("warc_ts"))
+        | (F.col("bucket") != F.pmod(F.col("part_hash"), F.lit(64))))
+    assert bad.count() == 0
+    # no __HIVE_DEFAULT_PARTITION__ dirs were written
+    import glob
+    assert not glob.glob(
+        f"{root}/extracted/data/**/__HIVE_DEFAULT_PARTITION__",
+        recursive=True)
