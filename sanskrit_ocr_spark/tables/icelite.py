@@ -266,6 +266,35 @@ class IceliteTable:
         self.partition_cols = new_cols
         return sid
 
+    def replace_sort_order(self, cols: list[str] | None) -> int:
+        """Iceberg ``replaceSortOrder``: change (or clear, ``cols=None``/
+        ``[]``) the declared write sort order. Metadata-only — the sort
+        order is a storage optimization for future commits, never a
+        correctness property, so existing files keep their clustering
+        and data skipping simply stays coarser on them until
+        ``compact()`` re-clusters (it sorts by the ACTIVE order).
+        Returns the metadata-only commit recording the change."""
+        cols = list(cols or [])
+        if cols == self.sort_cols:
+            raise ValueError(f"{cols} is already the sort order")
+        names = {f.name for f in self.current_schema().fields}
+        for c in cols:
+            if c.startswith("__") or c not in names:
+                raise ValueError(
+                    f"sort column {c!r} is not in the current schema")
+        sid = self.commit_meta({"sort_order_set": cols})
+        sort_path = os.path.join(self.root, "_icelite", "sort_cols.json")
+        if cols:
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.join(self.root, "_icelite"))
+            with os.fdopen(fd, "w") as f:
+                json.dump({"sort_cols": cols}, f)
+            os.replace(tmp, sort_path)
+        elif os.path.exists(sort_path):
+            os.remove(sort_path)
+        self.sort_cols = cols
+        return sid
+
     @staticmethod
     def _entry_layout(entry: str) -> tuple[str, ...]:
         """Physical hive partition columns of one committed entry, probed
@@ -1475,6 +1504,18 @@ class IceliteTable:
                     f"ref {name!r} points at snapshot "
                     f"{ref['snapshot_id']} above the rollback target "
                     f"{snapshot_id}; move or drop it first")
+        # partition-spec / sort-order changes live in a spec FILE beside
+        # the manifest chain: erasing their marker commits would leave
+        # the file asserting a spec the retained history never declared
+        # (schema evolution is immune — schemas ride the manifests and
+        # roll back with them). Refuse rather than silently fork.
+        for sid in range(snapshot_id + 1, head + 1):
+            m = self._manifest(sid)
+            if "spec_evolved_to" in m or "sort_order_set" in m:
+                raise ValueError(
+                    f"snapshot {sid} changed the partition spec or sort "
+                    "order; rollback across it would desynchronize the "
+                    "persisted spec — roll back to a later snapshot")
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
         with os.fdopen(fd, "w") as f:
             json.dump({"target": snapshot_id}, f)
@@ -1543,7 +1584,8 @@ class IceliteTable:
         "file_stats"})
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
-        "upsert_mor", "committed_at_ms", "spec_evolved_to"})
+        "upsert_mor", "committed_at_ms", "spec_evolved_to",
+        "sort_order_set"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT

@@ -147,3 +147,57 @@ def test_run_extraction_sort_ts_end_to_end(spark, tmp_path):
     b = extracted_table(spark, plain).read()
     assert a.columns == b.columns
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_replace_sort_order(spark, tmp_path):
+    """r6: Iceberg replaceSortOrder — metadata-only set/clear of the
+    write sort order; new commits cluster by the ACTIVE order, old
+    files keep theirs, compaction re-clusters everything."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "rso")
+    t = IceliteTable(spark, root, SCHEMA, stat_cols=["k"])
+    t.append(_batch(spark, 0, 800))                 # unsorted commit 1
+    sid = t.replace_sort_order(["k"])               # meta commit 2
+    assert t.history()[0]["snapshot_id"] == sid
+    t.append(_batch(spark, 800, 1600))              # sorted commit 3
+
+    def span(f):
+        col = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        return min(col), max(col)
+
+    # post-order commit is range-clustered: each file covers a narrow
+    # slice of [800, 1600), not the whole batch
+    new_files = [f for f in t.committed_files() if "commit-3-" in f]
+    assert new_files
+    assert all(hi - lo < 400 for lo, hi in map(span, new_files))
+    # the pre-order commit keeps its hash-spread files (metadata-only
+    # change): every file still spans nearly the full [0, 800) range,
+    # so range probes on it cannot skip anything
+    old_files = [f for f in t.committed_files() if "commit-1-" in f]
+    assert old_files
+    assert all(lo < 100 and hi > 700 for lo, hi in map(span, old_files))
+
+    # a fresh handle picks the order up from the persisted spec
+    t2 = IceliteTable(spark, root, SCHEMA)
+    assert t2.sort_cols == ["k"]
+
+    # compact re-clusters EVERYTHING by the active order: the old
+    # hash-spread rows land in narrow range slices too
+    t.compact(target_partitions=4)
+    assert all(hi - lo < 800 for lo, hi in map(span, t.committed_files()))
+    assert t.read().count() == 1600
+
+    # clear: later handles stop paying the range shuffle
+    t.replace_sort_order([])
+    assert not os.path.exists(
+        os.path.join(root, "_icelite", "sort_cols.json"))
+    t3 = IceliteTable(spark, root, SCHEMA)
+    assert t3.sort_cols == []
+
+    with pytest.raises(ValueError):
+        t.replace_sort_order([])                 # already cleared
+    with pytest.raises(ValueError):
+        t.replace_sort_order(["nope"])           # not in schema

@@ -221,3 +221,32 @@ def test_rejected_batch_never_reaches_curation(spark, tmp_path):
                       to_sid=ext.branches()["published"])
     assert s2["inserted"] == 0
     assert s2["corpus_total"] == s1["corpus_total"]
+
+
+def test_rollback_refuses_to_cross_spec_changes(spark, tmp_path):
+    """Partition-spec / sort-order changes live in a spec file BESIDE
+    the manifest chain — rolling back across their marker commit would
+    leave the file asserting a spec the retained history never
+    declared. Refused; rollback to/above the marker still works."""
+    schema = StructType([
+        StructField("k", LongType(), False),
+        StructField("day", StringType(), False),
+    ])
+    t = IceliteTable(spark, str(tmp_path / "rspec"), schema)
+    t.append(spark.createDataFrame([(1, "d0"), (2, "d1")], schema))  # 1
+    t.evolve_partition_spec(["day"])                                 # 2
+    t.append(spark.createDataFrame([(3, "d0")], schema))             # 3
+    with pytest.raises(ValueError):
+        t.rollback_to(1)            # would cross the evolution commit
+    assert t.rollback_to(2) == [3]  # rollback TO the marker is fine
+    assert t.read().count() == 2
+    assert t.partition_cols == ["day"]
+
+    t2 = IceliteTable(spark, str(tmp_path / "rsort"), schema)
+    t2.append(spark.createDataFrame([(1, "d0")], schema))            # 1
+    t2.replace_sort_order(["k"])                                     # 2
+    t2.append(spark.createDataFrame([(2, "d1")], schema))            # 3
+    with pytest.raises(ValueError):
+        t2.rollback_to(1)
+    assert t2.rollback_to(2) == [3]
+    assert t2.sort_cols == ["k"]
