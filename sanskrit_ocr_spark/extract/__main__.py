@@ -47,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="print the extracted table's snapshot history "
                           "(id, kind, files, inserted/total bookkeeping) "
                           "as JSON — metadata only, no Spark jobs")
+    src.add_argument("--inspect",
+                     choices=["files", "partitions", "snapshots", "refs"],
+                     help="print the extracted table's metadata table "
+                          "(Iceberg files/partitions/snapshots/refs "
+                          "analog) as JSON — per-file commit provenance, "
+                          "row counts, byte sizes, stat bounds and "
+                          "pending equality-delete files, straight from "
+                          "manifests + parquet footers; metadata only, "
+                          "no Spark session")
     src.add_argument("--maintain", action="store_true",
                      help="run table maintenance on ROOT instead of "
                           "ingesting: compact the extracted table to "
@@ -144,7 +153,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--audit-max-fail-rate must be within [0, 1]")
     if (args.audit_max_fail_rate is not None
             or args.publish_branch is not None) and (
-            args.history or args.maintain or args.evolve_partitioning):
+            args.history or args.inspect or args.maintain
+            or args.evolve_partitioning):
         p.error("--audit-max-fail-rate/--publish-branch apply to "
                 "ingestion runs only")
     if args.evolve_partitioning and (
@@ -179,6 +189,15 @@ def main(argv: list[str] | None = None) -> int:
                 "reopened handles load the persisted spec)")
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
+    if args.inspect and (args.recrawl or args.curate_dest
+                         or args.curate_table or args.wet_dest
+                         or args.wet_table or args.partitioned
+                         or args.salt_partitions is not None
+                         or args.bucket_urls is not None
+                         or args.bucket_hashes is not None
+                         or args.sort_ts
+                         or args.merge_prefilter_buckets is not None):
+        p.error("--inspect takes only --root")
     if args.history and (args.recrawl or args.curate_dest
                          or args.curate_table or args.wet_dest
                          or args.wet_table
@@ -245,6 +264,45 @@ def main(argv: list[str] | None = None) -> int:
             out["refs"] = {**({"tags": tags} if tags else {}),
                            **({"branches": branches} if branches else {})}
         print(json.dumps(out))
+        return 0
+
+    if args.inspect:
+        # metadata tables straight from manifests + parquet footers —
+        # O(live files) driver-side metadata reads, no Spark session
+        # (the handle's spark/schema are unused on this path)
+        from pyspark.sql.types import StructType as _ST
+
+        from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+        table_root = os.path.join(args.root, "extracted")
+        if not os.path.isdir(os.path.join(table_root, "_icelite")):
+            print(f"error: no icelite table at {table_root}",
+                  file=sys.stderr)
+            return 2
+        t = IceliteTable(None, table_root, _ST([]))
+        if args.inspect == "files":
+            body = t.inspect_file_rows()
+        elif args.inspect == "partitions":
+            agg: dict = {}
+            for r in t.inspect_file_rows():
+                if r["content"] != "data":
+                    continue
+                a = agg.setdefault(r["partition"], {
+                    "partition": r["partition"], "n_files": 0,
+                    "record_count": 0, "file_size_bytes": 0})
+                a["n_files"] += 1
+                a["record_count"] += r["record_count"]
+                a["file_size_bytes"] += r["file_size_bytes"]
+            body = sorted(agg.values(), key=lambda a: a["partition"])
+        elif args.inspect == "snapshots":
+            body = t.history()
+        else:  # refs
+            body = ([{"name": n, "kind": "tag", "snapshot_id": s}
+                     for n, s in sorted(t.tags().items())]
+                    + [{"name": n, "kind": "branch", "snapshot_id": s}
+                       for n, s in sorted(t.branches().items())])
+        print(json.dumps({"snapshot_id": t.snapshot_id(),
+                          args.inspect: body}))
         return 0
 
     if args.evolve_partitioning and not os.path.isdir(

@@ -61,7 +61,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from sanskrit_ocr_spark.ops.util import keep_first
 
@@ -1355,6 +1361,146 @@ class IceliteTable:
                     self.root, "_icelite", "commits", f"{cur}.json")):
                 break  # parent expired — oldest retained snapshot reached
         return out
+
+    # -- metadata inspection tables (Iceberg files/partitions/snapshots) ------
+    _FILES_SCHEMA = StructType([
+        StructField("content", StringType(), False),
+        StructField("file_path", StringType(), False),
+        StructField("commit_sid", LongType(), False),
+        StructField("partition", StringType(), False),
+        StructField("record_count", LongType(), False),
+        StructField("file_size_bytes", LongType(), False),
+        StructField("lower_bounds", MapType(StringType(), StringType()),
+                    True),
+        StructField("upper_bounds", MapType(StringType(), StringType()),
+                    True),
+    ])
+
+    def _partition_of(self, path: str) -> str:
+        """Hive ``k=v/k=v`` partition string of one data file, parsed
+        from its directory segments under ``data/``. The synthetic
+        ``__commit=`` level is provenance (reported separately as
+        ``commit_sid``), not partitioning; the synthetic ``__bucket=``
+        level IS part of the physical layout and is kept."""
+        rel = os.path.relpath(path, os.path.join(self.root, "data"))
+        return "/".join(s for s in rel.split(os.sep)[:-1]
+                        if "=" in s and not s.startswith("__commit="))
+
+    @staticmethod
+    def _parquet_under(entry: str) -> list[str]:
+        if not os.path.isdir(entry):
+            return [entry]
+        return sorted(os.path.join(dp, fn)
+                      for dp, _, fns in os.walk(entry)
+                      for fn in fns if fn.endswith(".parquet"))
+
+    def inspect_file_rows(self, snapshot_id: int | None = None
+                          ) -> list[dict]:
+        """Rows of the ``files`` metadata table as plain dicts — pure
+        driver-side metadata (one footer read per file, zero Spark
+        jobs), usable without a Spark session (CLI ``--inspect``).
+
+        One row per live physical parquet file at the snapshot: data
+        files with their owning commit, hive partition string, exact
+        footer row count, byte size, and per-file (min, max) bounds for
+        the declared ``stat_cols`` — plus the PENDING merge-on-read
+        equality-delete files (``content = equality_deletes(<key>)``),
+        which is exactly what Iceberg's ``files`` table shows for a v2
+        table awaiting compaction. Cost is O(live files) metadata
+        reads — the same order as Iceberg's manifest scan, independent
+        of row count, which is what makes inspection viable at 10^12
+        rows."""
+        import pyarrow.parquet as pq
+
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        groups, deletes = self._groups_at(sid) if sid else ([], [])
+        rows: list[dict] = []
+        for csid, entries in groups:
+            for entry in entries:
+                for p in self._parquet_under(entry):
+                    st = self._file_stats([p]).get(p, {})
+                    rows.append({
+                        "content": "data",
+                        "file_path": p,
+                        "commit_sid": csid,
+                        "partition": self._partition_of(p),
+                        "record_count":
+                            pq.ParquetFile(p).metadata.num_rows,
+                        "file_size_bytes": os.path.getsize(p),
+                        "lower_bounds":
+                            {c: str(b[0]) for c, b in st.items()} or None,
+                        "upper_bounds":
+                            {c: str(b[1]) for c, b in st.items()} or None,
+                    })
+        for d in deletes:
+            for p in self._parquet_under(d["dir"]):
+                rows.append({
+                    "content": f"equality_deletes({d['key']})",
+                    "file_path": p,
+                    "commit_sid": d["sid"],
+                    "partition": "",
+                    "record_count": pq.ParquetFile(p).metadata.num_rows,
+                    "file_size_bytes": os.path.getsize(p),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                })
+        return rows
+
+    def inspect_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``files`` metadata table (Iceberg ``table$files``) as a
+        DataFrame — see ``inspect_file_rows`` for the row contract."""
+        return self.spark.createDataFrame(
+            self.inspect_file_rows(snapshot_id), self._FILES_SCHEMA)
+
+    def inspect_partitions(self, snapshot_id: int | None = None
+                           ) -> DataFrame:
+        """The ``partitions`` metadata table (Iceberg
+        ``table$partitions``): per hive-partition file count, exact row
+        count and byte size of the LIVE data files — the operational
+        view for spotting partition skew and compaction debt without
+        scanning any data. Row counts come from parquet footers, so
+        pending MOR deletes are not subtracted (same as Iceberg, whose
+        partitions table reports data-file record counts)."""
+        return (self.inspect_files(snapshot_id)
+                .filter(F.col("content") == "data")
+                .groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("n_files"),
+                     F.sum("record_count").alias("record_count"),
+                     F.sum("file_size_bytes").alias("file_size_bytes")))
+
+    _SNAPSHOTS_SCHEMA = StructType([
+        StructField("snapshot_id", LongType(), False),
+        StructField("parent", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_files", LongType(), False),
+        StructField("summary", MapType(StringType(), StringType()), True),
+    ])
+
+    def inspect_snapshots(self) -> DataFrame:
+        """The ``snapshots`` metadata table (Iceberg ``table$snapshots``):
+        ``history()`` as a DataFrame, newest first, with the per-commit
+        bookkeeping (inserted / total_rows / watermarks / commit time)
+        in a ``summary`` string map — Iceberg's summary-map shape."""
+        rows = [{"snapshot_id": h["snapshot_id"], "parent": h["parent"],
+                 "kind": h["kind"], "n_files": h["n_files"],
+                 "summary": {k: str(v) for k, v in h.items()
+                             if k not in ("snapshot_id", "parent", "kind",
+                                          "n_files")} or None}
+                for h in self.history()]
+        return self.spark.createDataFrame(rows, self._SNAPSHOTS_SCHEMA)
+
+    def inspect_refs(self) -> DataFrame:
+        """The ``refs`` metadata table (Iceberg ``table$refs``): one row
+        per named tag/branch and the snapshot it points at."""
+        rows = ([{"name": n, "kind": "tag", "snapshot_id": s}
+                 for n, s in sorted(self.tags().items())]
+                + [{"name": n, "kind": "branch", "snapshot_id": s}
+                   for n, s in sorted(self.branches().items())])
+        return self.spark.createDataFrame(rows, StructType([
+            StructField("name", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("snapshot_id", LongType(), False),
+        ]))
 
     # -- named refs & time travel by timestamp ----------------------------------
     _REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
