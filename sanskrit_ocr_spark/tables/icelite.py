@@ -728,6 +728,93 @@ class IceliteTable:
                 "left_anti")
         return data.drop("__csid")
 
+    def read_changelog(self, since_sid: int,
+                       to_sid: int | None = None) -> DataFrame:
+        """Row-level changelog of ``(since_sid, to_sid]`` — Iceberg's
+        ``create_changelog_view`` / Delta Change-Data-Feed analog: the
+        table columns plus ``_change_type`` (``'insert'`` |
+        ``'delete'``) and ``_commit_sid`` (the commit that caused the
+        event).
+
+        * every row ADDED by an in-range commit emits one ``insert`` at
+          its commit — including rows later deleted in the same range
+          (this is an event feed, not the net view);
+        * every row REMOVED by an in-range merge-on-read equality
+          delete emits one ``delete`` carrying the full pre-image, at
+          the EARLIEST delete that applies to it (a row already dead
+          before the range emits nothing; a later delete matching the
+          same key cannot re-kill it).
+
+        Exactness contract (pinned by tests): rows alive at
+        ``since_sid`` + inserts − deletes == rows alive at ``to_sid``,
+        as multisets. This is what an incremental downstream aggregate
+        needs to stay exact under re-crawls — ``read_changes`` (the NET
+        additions view) cannot retract pre-range state.
+
+        Scale shape: inserts come straight from the delta manifests'
+        files (O(new data)); delete pre-images need the data visible at
+        ``to_sid`` joined against the pending delete keys — one
+        broadcast join (delete sets are O(recrawl batch)), with the
+        per-key delete schedule folded to a sorted array so each
+        physical row resolves its fate with one ``array_min(filter())``
+        instead of one join per delete commit. Same ``ValueError``
+        contract as ``read_changes`` when the range crosses a
+        compaction/seal (per-commit provenance gone there — Iceberg's
+        changelog scan refuses rewritten ranges the same way)."""
+        to_sid = self.snapshot_id() if to_sid is None else to_sid
+        schema = self.schema_at(to_sid)
+        self._range_walk(since_sid, to_sid)  # provenance check (raises)
+        groups, deletes = self._groups_at(to_sid)
+        base_cols = [f.name for f in schema.fields]
+        out_schema = StructType(
+            list(schema.fields)
+            + [StructField("_change_type", StringType(), False),
+               StructField("_commit_sid", LongType(), False)])
+        parts = [self._read_file_group(fs, schema)
+                 .withColumn("__csid", F.lit(csid))
+                 for csid, fs in groups if fs]
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p)
+        inserts = (data.filter(F.col("__csid") > F.lit(since_sid))
+                   .withColumn("_change_type", F.lit("insert"))
+                   .withColumn("_commit_sid", F.col("__csid")))
+        events = inserts
+        by_key: dict[str, list[dict]] = {}
+        for d in deletes:
+            by_key.setdefault(d["key"], []).append(d)
+        del_cols: list[str] = []
+        for i, (key, ds) in enumerate(sorted(by_key.items())):
+            dk = None
+            for d in ds:
+                one = (self.spark.read.parquet(d["dir"])
+                       .select(F.col(key).alias("__dk"),
+                               F.lit(d["sid"]).alias("__dsid")))
+                dk = one if dk is None else dk.unionByName(one)
+            sched = (dk.groupBy("__dk")
+                     .agg(F.sort_array(F.collect_set("__dsid"))
+                          .alias("__dsids")))
+            col = f"__del_{i}"
+            data = (data.join(F.broadcast(sched),
+                              F.col(key) == F.col("__dk"), "left")
+                    .withColumn(col, F.array_min(F.filter(
+                        F.col("__dsids"),
+                        lambda s: s > F.col("__csid"))))
+                    .drop("__dk", "__dsids"))
+            del_cols.append(col)
+        if del_cols:
+            fate = (F.least(*del_cols) if len(del_cols) > 1
+                    else F.col(del_cols[0]))
+            dels = (data.withColumn("__del_sid", fate)
+                    .filter(F.col("__del_sid") > F.lit(since_sid))
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_sid", F.col("__del_sid")))
+            events = inserts.unionByName(
+                dels.select(*inserts.columns))
+        return events.select(*base_cols, "_change_type", "_commit_sid")
+
     def _groups_at(self, sid: int) -> tuple[list, list]:
         """Per-commit file provenance + pending equality deletes at
         ``sid``: ``([(commit_sid, [files...]), ... oldest-first],
