@@ -1818,7 +1818,7 @@ class IceliteTable:
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
         "upsert_mor", "committed_at_ms", "spec_evolved_to",
-        "sort_order_set"})
+        "sort_order_set", "zordered"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT
@@ -1926,8 +1926,57 @@ class IceliteTable:
             cur = m.get("parent", 0)
         return carried
 
+    @staticmethod
+    def _zvalue(scaled: list, bits: int = 16):
+        """Interleaved-bit z-value over pre-scaled ``bits``-wide integer
+        columns: bit ``b`` of column ``i`` lands at position
+        ``b*len(scaled)+i``. Pure JVM bitwise expressions (one
+        whole-stage-codegen projection, no UDF)."""
+        n = len(scaled)
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for i, sc in enumerate(scaled):
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(sc, b).bitwiseAND(F.lit(1)), b * n + i))
+        return z
+
+    def _zorder_col(self, df: DataFrame, cols: list[str], bits: int = 16):
+        """Z-order clustering key over 2–4 numeric/timestamp columns:
+        each column min-max-scaled to a ``bits``-wide integer with ONE
+        column-pruned agg over ``df`` (global bounds), then
+        bit-interleaved. Values outside [min,max] cannot occur by
+        construction; a constant column contributes zero bits."""
+        if not 2 <= len(cols) <= 4:
+            raise ValueError("zorder takes 2-4 columns")
+        names = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        for c in cols:
+            if c not in names:
+                raise ValueError(f"zorder column {c!r} is not in the schema")
+            if names[c] in ("string", "binary", "boolean", "array", "map",
+                            "struct"):
+                raise ValueError(
+                    f"zorder column {c!r} has no fixed-width ordered "
+                    "encoding (numeric/timestamp/date columns only)")
+        mask = (1 << bits) - 1
+        aggs = [a for c in cols
+                for a in (F.min(F.col(c).cast("double")),
+                          F.max(F.col(c).cast("double")))]
+        bounds = df.agg(*aggs).first()
+        scaled = []
+        for i, c in enumerate(cols):
+            mn, mx = bounds[2 * i], bounds[2 * i + 1]
+            span = (mx - mn) if mn is not None and mx is not None else 0.0
+            if not span:
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            scaled.append(F.least(
+                F.lit(mask).cast("long"),
+                F.floor((F.col(c).cast("double") - F.lit(mn))
+                        / F.lit(span) * F.lit(mask))).cast("long"))
+        return self._zvalue(scaled, bits)
+
     def compact(self, target_partitions: int = 8,
-                transform=None) -> int:
+                transform=None, zorder: list[str] | None = None) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
         (Iceberg ``rewrite_data_files`` analog — incremental appends
         accumulate small files; at web scale the scan's split planning
@@ -1941,7 +1990,18 @@ class IceliteTable:
         the evolution carry NULL in later-added layout columns; the
         caller's derivation fills them so the rewrite lands in proper
         hive dirs instead of ``__HIVE_DEFAULT_PARTITION__``). Must not
-        add, drop or reorder rows (row_count is carried through)."""
+        add, drop or reorder rows (row_count is carried through).
+
+        ``zorder``: rewrite clustered on the interleaved-bit z-value of
+        2–4 numeric/timestamp columns (Iceberg ``rewrite_data_files``
+        with a z-order strategy) instead of the linear sort order. A
+        linear sort on (x, y) prunes x-probes but leaves every file
+        spanning y's whole range; the z-curve keeps files tight in BOTH
+        dimensions, so file-level min/max skipping (``read(prune=...)``)
+        bites for either column — the right clustering when probes come
+        on more than one column (e.g. warc_ts ranges AND url buckets).
+        Costs one extra column-pruned agg for the global bounds; the
+        rewrite itself is O(table) either way."""
         parent = self.snapshot_id()
         sid = parent + 1
         current = self.read()
@@ -1953,7 +2013,13 @@ class IceliteTable:
         # every output file, widening all min/max bounds until data
         # skipping can never prune again
         cluster_cols = self.sort_cols or self.stat_cols
-        if cluster_cols:
+        if zorder:
+            staged = (current
+                      .withColumn("__z", self._zorder_col(current, zorder))
+                      .repartitionByRange(target_partitions, "__z")
+                      .sortWithinPartitions("__z")
+                      .drop("__z"))
+        elif cluster_cols:
             staged = current.repartitionByRange(
                 target_partitions, *cluster_cols)
             if self.sort_cols:
@@ -1963,6 +2029,7 @@ class IceliteTable:
         data_dir, files = self._stage_data(staged, sid, cluster=False)
         manifest = {"snapshot_id": sid, "parent": parent,
                     "new_files": files, "full": True, "compacted": True,
+                    **({"zordered": list(zorder)} if zorder else {}),
                     # see merge_upsert: full manifests must carry the schema
                     "schema": self.schema_at(parent).jsonValue(),
                     # caller bookkeeping (e.g. curation watermark)
