@@ -1,0 +1,135 @@
+"""r6: the ``icelite`` Python Data Source streaming reader — commits as
+micro-batches (offsets = snapshot ids), Arrow-batch executor reads,
+checkpointed exactly-once delivery, append-only contract with an
+explicit opt-in insert-event-log mode under merge-on-read deletes."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from sanskrit_ocr_spark.streaming.source import IceliteDataSource
+from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+SCHEMA = StructType([
+    StructField("k", LongType(), False),
+    StructField("v", StringType(), False),
+    StructField("ts", TimestampType(), False),
+])
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(k, v, TS) for k, v in rows], SCHEMA)
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"], r["ts"]) for r in df.collect())
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    spark.dataSource.register(IceliteDataSource)
+
+
+def _drain(spark, root, checkpoint, name, **opts):
+    """One availableNow pass through a foreachBatch collector (the
+    memory sink cannot recover from a checkpoint; foreachBatch can) —
+    returns the sorted tuples delivered by THIS run."""
+    reader = spark.readStream.format("icelite").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    rows: list = []
+    q = (reader.load().writeStream
+         .foreachBatch(lambda df, _bid: rows.extend(
+             tuple(r) for r in df.collect()))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return sorted(rows)
+
+
+def test_commits_stream_and_checkpoint_resume(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(0, "a"), (1, "b")]))
+    t.append(_df(spark, [(2, "c")]))
+
+    got = _drain(spark, root, ckpt, "s1")
+    assert got == _rows(t.read())
+    assert all(isinstance(r[2], dt.datetime) for r in got)
+
+    # restart from the same checkpoint: ONLY the new commit arrives
+    t.append(_df(spark, [(3, "d")]))
+    got2 = _drain(spark, root, ckpt, "s2")
+    assert got2 == [(3, "d", TS)]
+
+    # nothing new: an empty drain, no duplicates
+    got3 = _drain(spark, root, ckpt, "s3")
+    assert got3 == []
+
+
+def test_starting_latest_skips_history(spark, tmp_path):
+    root = str(tmp_path / "l")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(0, "old")]))
+    got = _drain(spark, root, str(tmp_path / "c1"), "lat1",
+                 starting="latest")
+    assert got == []
+    t.append(_df(spark, [(1, "new")]))
+    got2 = _drain(spark, root, str(tmp_path / "c1"), "lat2",
+                  starting="latest")
+    assert got2 == [(1, "new", TS)]
+
+
+def test_mor_deletes_fail_unless_opted_in(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root = str(tmp_path / "mor")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(0, "v0"), (1, "w0")]))
+    t.merge_upsert_mor(_df(spark, [(0, "v1")]), "k")
+
+    with pytest.raises(StreamingQueryException) as e:
+        _drain(spark, root, str(tmp_path / "cf"), "f1")
+    assert "skipDeletes" in str(e.value)
+
+    # opt-in: the insert-event log — every committed version once
+    got = _drain(spark, root, str(tmp_path / "cs"), "f2",
+                 skipDeletes="true")
+    assert got == [(0, "v0", TS), (0, "v1", TS), (1, "w0", TS)]
+
+
+def test_hive_layout_rejected_offline_schema_and_missing_table(
+        spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    hive_root = str(tmp_path / "hive")
+    th = IceliteTable(spark, hive_root, SCHEMA, partition_cols=["v"])
+    th.append(_df(spark, [(0, "a")]))
+    with pytest.raises(StreamingQueryException) as e:
+        _drain(spark, hive_root, str(tmp_path / "ch"), "h1")
+    assert "hive layout" in str(e.value)
+
+    # schema() derives from the footer when the user passes none — the
+    # passing tests above already exercise it; a missing table errors
+    with pytest.raises(Exception) as e2:
+        _drain(spark, str(tmp_path / "nope"), str(tmp_path / "cn"), "h2")
+    assert "no icelite table" in str(e2.value)
+
+
+def test_schema_evolution_null_fill(spark, tmp_path):
+    root = str(tmp_path / "evo")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(0, "a")]))
+    t.add_columns([StructField("extra", LongType(), True)])
+    evolved = t.current_schema()
+    t2 = IceliteTable(spark, root, evolved)
+    t2.append(spark.createDataFrame([(1, "b", TS, 7)], evolved))
+
+    got = _drain(spark, root, str(tmp_path / "ce"), "evo1")
+    assert sorted((r[0], r[3]) for r in got) == [(0, None), (1, 7)]
