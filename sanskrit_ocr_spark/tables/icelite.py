@@ -1425,6 +1425,7 @@ class IceliteTable:
             # 'upsert' with the full resolved list as its delta)
             kind = ("seal" if m.get("sealed")
                     else "compact" if m.get("compacted")
+                    else "delete" if m.get("deleted_where")
                     else "delete" if m.get("deletes")
                     and not m.get("new_files")
                     and not m.get("merged_upsert") and not m.get("upsert_mor")
@@ -1818,7 +1819,7 @@ class IceliteTable:
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
         "upsert_mor", "committed_at_ms", "spec_evolved_to",
-        "sort_order_set", "zordered"})
+        "sort_order_set", "zordered", "deleted_where", "deleted"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT
@@ -1902,6 +1903,81 @@ class IceliteTable:
             raise last_err  # type: ignore[misc]
         finally:
             keys.unpersist()
+
+    def delete_where(self, predicate, prune: dict | None = None
+                     ) -> tuple[int, int]:
+        """Copy-on-write row-level DELETE (Iceberg ``DELETE FROM t WHERE
+        ...`` under the copy-on-write strategy, with manifest-level file
+        pruning): entries whose recorded stat bounds prove no row can
+        match are carried into the new snapshot UNTOUCHED — pure
+        metadata, the dominant case for a ts-range or id-range purge on
+        a clustered table; only possibly-matching entries are read and
+        rewritten with the matching rows removed. Complements
+        ``delete_keys`` (merge-on-read equality deletes, O(batch)
+        writes): this arm pays the rewrite up front and keeps the read
+        path scan-only.
+
+        ``predicate``: Column (or SQL string) selecting rows to DELETE.
+        ``prune``: the same ``{col: (lo, hi)}`` contract as
+        ``read(prune=...)`` — must OVER-approximate the predicate's
+        matching rows; correctness never depends on it (omitted →
+        every entry is rewritten), only the rewrite volume does.
+
+        Pending merge-on-read deletes must be compacted away first:
+        rewritten rows would land ABOVE the pending delete commits and
+        resurrect (equality deletes apply to OLDER commits only) —
+        refused with ``ValueError`` rather than silently corrupting.
+        A predicate matching nothing releases its staging and commits
+        nothing. Returns ``(snapshot_id, deleted_rows)``; older
+        snapshots keep reading their immutable files (time travel sees
+        the pre-delete rows until expiry)."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        parent = self.snapshot_id()
+        if not parent:
+            return 0, 0
+        _groups, pending = self._groups_at(parent)
+        if pending:
+            raise ValueError(
+                "pending merge-on-read equality deletes: compact() "
+                "before delete_where — a rewrite would lift surviving "
+                "rows above the pending delete commits and resurrect "
+                "deleted keys")
+        sid = parent + 1
+        schema = self.schema_at(parent)
+        entries = self.files_at(parent)
+        touch = (self._prune_entries(entries, parent, prune)
+                 if prune else list(entries))
+        kept = [e for e in entries if e not in set(touch)]
+        if not touch:
+            return parent, 0
+        before = self._staged_row_count(touch)
+        remaining = self._read_file_group(touch, schema).filter(
+            ~predicate | F.isnull(predicate))
+        data_dir, files = self._stage_data(remaining, sid)
+        deleted = before - self._staged_row_count(files)
+        if not deleted:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return parent, 0
+        manifest = {"snapshot_id": sid, "parent": parent,
+                    "new_files": kept + files, "full": True,
+                    "deleted_where": True, "deleted": deleted,
+                    "schema": schema.jsonValue(),
+                    **self._carry_extra_meta(parent)}
+        if self.stat_cols:
+            old_stats = self._stats_at(parent)
+            manifest["file_stats"] = {
+                **{e: old_stats[e] for e in kept if e in old_stats},
+                **self._file_stats(files)}
+        prev_total = self._total_rows_at(parent)
+        if prev_total is not None:
+            manifest["total_rows"] = prev_total - deleted
+        try:
+            self._commit_manifest(sid, manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        return sid, deleted
 
     def _carry_extra_meta(self, from_sid: int) -> dict:
         """The LATEST value of every caller ``extra_meta`` key reachable

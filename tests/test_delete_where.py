@@ -1,0 +1,120 @@
+"""r6: copy-on-write DELETE FROM with manifest-level file pruning.
+The scale property under test: on a range-clustered table, a range
+purge rewrites ONLY the files whose stat bounds overlap the range —
+every other file is carried into the new snapshot untouched (same
+path, zero bytes moved), which is what makes an id/ts-range purge on
+a 10^12-row table O(matching files) instead of O(table)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+SCHEMA = StructType([
+    StructField("k", LongType(), False),
+    StructField("v", StringType(), False),
+])
+
+
+def _batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v-{i}") for i in range(lo, hi)], SCHEMA)
+
+
+def _clustered(spark, tmp_path, name="t", files=8, rows=800):
+    t = IceliteTable(spark, str(tmp_path / name), SCHEMA,
+                     stat_cols=["k"], sort_cols=["k"])
+    t.append(_batch(spark, 0, rows).repartition(files, "k"))
+    return t
+
+
+def test_range_purge_rewrites_only_overlapping_files(spark, tmp_path):
+    t = _clustered(spark, tmp_path)
+    before = set(t.committed_files())
+    assert len(before) == 8
+
+    sid, deleted = t.delete_where(F.col("k").between(100, 199),
+                                  prune={"k": (100, 199)})
+    assert (sid, deleted) == (2, 100)
+    after = set(t.committed_files())
+    # the range-clustered layout puts [100, 199] in 1-2 files: all the
+    # others survive BY PATH (pure metadata carry-over)
+    assert len(before & after) >= 6
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [k for k in range(800) if not 100 <= k <= 199]
+    assert t.history()[0]["kind"] == "delete"
+    # time travel still sees the pre-delete rows
+    assert t.read(1).count() == 800
+
+
+def test_stats_survive_and_keep_pruning(spark, tmp_path):
+    t = _clustered(spark, tmp_path)
+    t.delete_where(F.col("k").between(100, 199), prune={"k": (100, 199)})
+    # data skipping still bites on the carried-over entries
+    probe = t.read(prune={"k": (700, 750)})
+    assert len(probe.inputFiles()) <= 2
+    assert probe.filter(F.col("k").between(700, 750)).count() == 51
+    # and the deleted range now scans at most the rewritten files
+    hole = t.read(prune={"k": (100, 199)})
+    assert hole.filter(F.col("k").between(100, 199)).count() == 0
+
+
+def test_no_prune_is_correct_but_full_rewrite(spark, tmp_path):
+    t = _clustered(spark, tmp_path, "full")
+    before = set(t.committed_files())
+    sid, deleted = t.delete_where("k % 2 = 0")
+    assert deleted == 400
+    assert not (before & set(t.committed_files()))  # all rewritten
+    assert sorted(r["k"] for r in t.read().collect()) == \
+        list(range(1, 800, 2))
+    assert t._manifest(sid)["deleted"] == 400
+
+
+def test_nothing_matches_commits_nothing(spark, tmp_path):
+    t = _clustered(spark, tmp_path, "noop")
+    head = t.snapshot_id()
+    # prune eliminates every file: no read, no commit
+    sid, deleted = t.delete_where(F.col("k") > 10**9,
+                                  prune={"k": (10**9, None)})
+    assert (sid, deleted) == (head, 0)
+    # predicate matches nothing but files were read: still no commit
+    sid2, deleted2 = t.delete_where(F.col("v") == "absent")
+    assert (sid2, deleted2) == (head, 0)
+    assert t.snapshot_id() == head
+    assert t.read().count() == 800
+
+
+def test_null_predicate_rows_are_kept(spark, tmp_path):
+    schema = StructType([
+        StructField("k", LongType(), False),
+        StructField("n", LongType(), True),
+    ])
+    t = IceliteTable(spark, str(tmp_path / "nulls"), schema)
+    t.append(spark.createDataFrame(
+        [(0, 5), (1, None), (2, 50)], schema))
+    _, deleted = t.delete_where(F.col("n") > 10)
+    assert deleted == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1]
+
+
+def test_pending_mor_deletes_refused(spark, tmp_path):
+    t = IceliteTable(spark, str(tmp_path / "mor"), SCHEMA)
+    t.append(_batch(spark, 0, 50))
+    t.merge_upsert_mor(_batch(spark, 0, 5), "k")
+    with pytest.raises(ValueError, match="compact"):
+        t.delete_where(F.col("k") < 10)
+    # after compaction the delete proceeds
+    t.compact(target_partitions=2)
+    _, deleted = t.delete_where(F.col("k") < 10)
+    assert deleted == 10
+    assert t.read().count() == 40
+
+
+def test_carries_watermark_bookkeeping(spark, tmp_path):
+    t = _clustered(spark, tmp_path, "wm")
+    t.commit_meta({"extracted_watermark": 7})
+    t.delete_where(F.col("k") < 100, prune={"k": (None, 99)})
+    assert t._manifest(t.snapshot_id())["extracted_watermark"] == 7
