@@ -277,3 +277,119 @@ def test_lifecycle_fuzz_spec_evolution(spark, tmp_path):
             want = {u: v for u, v in model.items()
                     if int(u.rsplit("/", 1)[1]) % 3 == 1}
             assert got == want, f"day filter diverged e{seed}/{step}:{op}"
+
+
+def test_lifecycle_fuzz_cdc_and_inspection(spark, tmp_path):
+    """Op-interleaving fuzz over the r6 verbs: delete_where (pruned
+    copy-on-write range purge) joins merge / MOR / delete_keys /
+    compact / expire / meta, and after EVERY step three independent
+    views must agree with the Python model:
+
+    1. content (`read`) — the base invariant;
+    2. the `files` metadata table — footer record_counts of live data
+       files must sum to >= model size (equality when no MOR deletes
+       are pending), and its data file list must BE committed_files();
+    3. the row-level changelog across the step — folding the step's
+       insert/delete events over the pre-step snapshot must reproduce
+       the post-step snapshot (skipped where provenance is legitimately
+       gone: compaction/seal in range, expired pre-step snapshot)."""
+    from datetime import datetime
+
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    for seed in (13,):
+        rng = random.Random(seed)
+        t = IceliteTable(spark, str(tmp_path / f"cfz{seed}"), SCHEMA,
+                         stat_cols=["warc_ts"])
+        model: dict = {}
+        model_day: dict = {}
+        day = 1
+        keys = list(range(30))
+        t.merge_on_key(_batch(spark, keys, "v0", day), "url",
+                       order_col="warc_ts")
+        for k in keys:
+            model[f"https://ex.org/{k}"] = f"v0-{k}"
+            model_day[f"https://ex.org/{k}"] = day
+
+        for step in range(14):
+            op = rng.choice(["merge", "mor", "mor", "delkeys",
+                             "delwhere", "compact", "expire", "meta"])
+            prev = t.snapshot_id()
+            prev_alive = sorted(
+                (r["url"], r["text"]) for r in t.read().collect())
+            day = min(day + 1, 28)
+            lo = rng.randrange(0, 50)
+            ks = list(range(lo, lo + rng.randrange(1, 15)))
+            tag = f"s{step}"
+            if op == "merge":
+                t.merge_on_key(_batch(spark, ks, tag, day), "url",
+                               order_col="warc_ts")
+                for k in ks:
+                    u = f"https://ex.org/{k}"
+                    if u not in model:
+                        model[u], model_day[u] = f"{tag}-{k}", day
+            elif op == "mor":
+                t.merge_upsert_mor(_batch(spark, ks, tag, day), "url",
+                                   order_col="warc_ts")
+                for k in ks:
+                    u = f"https://ex.org/{k}"
+                    model[u], model_day[u] = f"{tag}-{k}", day
+            elif op == "delkeys":
+                urls = [f"https://ex.org/{k}" for k in ks]
+                t.delete_keys(
+                    spark.createDataFrame([(u,) for u in urls],
+                                          "url string"), "url")
+                for u in urls:
+                    model.pop(u, None)
+                    model_day.pop(u, None)
+            elif op == "delwhere":
+                d1 = rng.randrange(1, day + 1)
+                lo_ts = datetime(2025, 7, d1)
+                hi_ts = datetime(2025, 7, d1, 23, 59, 59)
+                try:
+                    t.delete_where(
+                        F.col("warc_ts").between(F.lit(lo_ts),
+                                                 F.lit(hi_ts)),
+                        prune={"warc_ts": (lo_ts, hi_ts)})
+                except ValueError:
+                    pass  # pending MOR deletes: legitimately refused
+                else:
+                    for u in [u for u, d in model_day.items() if d == d1]:
+                        model.pop(u, None)
+                        model_day.pop(u, None)
+            elif op == "compact":
+                t.compact(target_partitions=rng.choice([1, 2, 4]))
+            elif op == "expire":
+                t.expire_snapshots(keep_last=rng.choice([1, 2, 3]))
+            else:
+                t.commit_meta({"fuzz_step": step})
+            _check(t, model, f"c{seed}/{step}:{op}")
+
+            # 2. files metadata table vs reality
+            frows = t.inspect_file_rows()
+            data_rows = [r for r in frows if r["content"] == "data"]
+            pending = [r for r in frows if r["content"] != "data"]
+            data_total = sum(r["record_count"] for r in data_rows)
+            assert data_total >= len(model), f"files< c{seed}/{step}"
+            if not pending:
+                assert data_total == len(model), f"files!= c{seed}/{step}"
+            assert sorted(r["file_path"] for r in data_rows) == \
+                sorted(t.committed_files()), f"filelist c{seed}/{step}"
+
+            # 3. changelog fold across the step
+            cur = t.snapshot_id()
+            if cur > prev:
+                try:
+                    log = t.read_changelog(prev, cur).collect()
+                except ValueError:
+                    pass  # compact/seal in range: provenance gone
+                else:
+                    folded = list(prev_alive)
+                    folded += [(r["url"], r["text"]) for r in log
+                               if r["_change_type"] == "insert"]
+                    for d in [(r["url"], r["text"]) for r in log
+                              if r["_change_type"] == "delete"]:
+                        folded.remove(d)
+                    assert sorted(folded) == sorted(
+                        (u, v) for u, v in model.items()), \
+                        f"fold c{seed}/{step}:{op}"
