@@ -126,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
                         "runs load the persisted layout automatically)")
     p.add_argument("--compact-partitions", type=int, default=8,
                    help="target file count for --maintain compaction")
+    p.add_argument("--purge-before", default=None, metavar="TIMESTAMP",
+                   help="--maintain only: retention purge — delete "
+                        "extracted rows with warc_ts older than this "
+                        "ISO timestamp via the copy-on-write "
+                        "delete_where (runs AFTER compaction, so the "
+                        "ts-clustered rewrite prunes to the files the "
+                        "cutoff actually touches); purged urls "
+                        "re-extract if re-crawled (retention, not "
+                        "tombstoning)")
     p.add_argument("--expire-keep", type=int, default=2,
                    help="snapshots to retain in --maintain expiry")
     p.add_argument("--recrawl", action="store_true",
@@ -217,7 +226,17 @@ def main(argv: list[str] | None = None) -> int:
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
-                "/ --master / --shuffle-partitions)")
+                "/ --purge-before / --master / --shuffle-partitions)")
+    cutoff = None
+    if args.purge_before is not None:
+        if not args.maintain:
+            p.error("--purge-before is a --maintain retention action")
+        import datetime as _dt
+        try:
+            cutoff = _dt.datetime.fromisoformat(args.purge_before)
+        except ValueError:
+            p.error(f"--purge-before: not an ISO timestamp: "
+                    f"{args.purge_before!r}")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
     if args.recrawl and args.merge_prefilter_buckets is not None:
@@ -357,6 +376,17 @@ def main(argv: list[str] | None = None) -> int:
             sid = ext_t.compact(
                 target_partitions=args.compact_partitions,
                 transform=backfill_layout if args.partitioned else None)
+            purged = None
+            if cutoff is not None:
+                # retention purge AFTER compaction: pending MOR deletes
+                # are applied (delete_where refuses them) and the
+                # rewrite just range-clustered on warc_ts, so the stats
+                # prune limits the purge's rewrite to the files the
+                # cutoff actually touches
+                psid, purged = ext_t.delete_where(
+                    F.col("warc_ts") < F.lit(cutoff),
+                    prune={"warc_ts": (None, cutoff)})
+                sid = max(sid, psid)
             expired = ext_t.expire_snapshots(keep_last=args.expire_keep)
             orphans = ext_t.remove_orphans()
             out = {
@@ -367,6 +397,8 @@ def main(argv: list[str] | None = None) -> int:
                 "orphans_removed": len(orphans),
                 "rows": ext_t.row_count() or ext_t.read().count(),
             }
+            if purged is not None:
+                out["purged_rows"] = purged
             if args.curate_table:
                 # with incremental curation in play the CORPUS table
                 # accumulates one commit per curated batch too — maintain

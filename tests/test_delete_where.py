@@ -118,3 +118,64 @@ def test_carries_watermark_bookkeeping(spark, tmp_path):
     t.commit_meta({"extracted_watermark": 7})
     t.delete_where(F.col("k") < 100, prune={"k": (None, 99)})
     assert t._manifest(t.snapshot_id())["extracted_watermark"] == 7
+
+
+def test_cli_retention_purge(tmp_path):
+    """--maintain --purge-before: retention purge at the CLI surface,
+    checked against an independent pyarrow count of the pre-purge
+    files, idempotent on re-run, visible in --history as a delete."""
+    import glob
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pads
+    import datetime as dt
+
+    root = str(tmp_path / "ret")
+    run = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--rows", "300", "--root", root, "--master", "local[8]"],
+        capture_output=True, text=True)
+    assert run.returncode == 0, run.stderr
+    assert json.loads(run.stdout)["inserted"] == 294
+
+    cutoff = dt.datetime(2025, 7, 4, 1, 40)
+    files = glob.glob(f"{root}/extracted/data/**/*.parquet",
+                      recursive=True)
+    pre = pads.dataset(files).to_table(columns=["warc_ts"])
+    cutoff_utc = cutoff.replace(tzinfo=dt.timezone.utc)
+    want_purged = sum(v < cutoff_utc for v in pre["warc_ts"].to_pylist())
+
+    m1 = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--maintain", "--root", root, "--master", "local[8]",
+         "--purge-before", cutoff.isoformat()],
+        capture_output=True, text=True)
+    assert m1.returncode == 0, m1.stderr
+    out = json.loads(m1.stdout)
+    assert out["purged_rows"] == want_purged > 0
+    assert out["rows"] == 294 - want_purged
+
+    # idempotent: a second purge at the same cutoff removes nothing
+    m2 = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--maintain", "--root", root, "--master", "local[8]",
+         "--purge-before", cutoff.isoformat()],
+        capture_output=True, text=True)
+    assert m2.returncode == 0, m2.stderr
+    out2 = json.loads(m2.stdout)
+    assert out2["purged_rows"] == 0
+    assert out2["rows"] == 294 - want_purged
+
+    # argparse guards, both metadata-only (no Spark)
+    bad1 = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--rows", "10", "--root", root, "--purge-before", "2025-01-01"],
+        capture_output=True, text=True)
+    assert bad1.returncode == 2
+    bad2 = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--maintain", "--root", root, "--purge-before", "not-a-ts"],
+        capture_output=True, text=True)
+    assert bad2.returncode == 2
