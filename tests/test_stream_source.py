@@ -133,3 +133,56 @@ def test_schema_evolution_null_fill(spark, tmp_path):
 
     got = _drain(spark, root, str(tmp_path / "ce"), "evo1")
     assert sorted((r[0], r[3]) for r in got) == [(0, None), (1, 7)]
+
+
+def test_streaming_source_drives_continuous_curation(spark, tmp_path):
+    """Composition: the icelite source streams the EXTRACTED table's
+    commits, and a foreachBatch curation MERGEs each micro-batch into a
+    content-hash-keyed corpus table — a streaming-driven alternative to
+    the batch `curate_table` loop with the same end state. The
+    checkpoint guarantees each extraction commit curates exactly once
+    across restarts."""
+    from pyspark.sql import functions as F
+
+    from sanskrit_ocr_spark.datagen.pages import pages_df
+    from sanskrit_ocr_spark.extract.curate import _corpus_schema, curate
+    from sanskrit_ocr_spark.extract.job import run_extraction
+
+    root = str(tmp_path / "job")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = IceliteTable(spark, str(tmp_path / "corpus"),
+                          _corpus_schema())
+
+    def curate_batch(batch, _bid):
+        rows = (curate(batch)
+                .select(F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+                        "url", "warc_ts", "text", "n_graphemes",
+                        "n_sentences"))
+        corpus.merge_on_key(rows, "text_md5", order_col="warc_ts")
+
+    def drain():
+        q = (spark.readStream.format("icelite")
+             .option("path", f"{root}/extracted").load()
+             .writeStream.foreachBatch(curate_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_extraction(spark, pages_df(spark, 200), root)
+    drain()
+    assert corpus.read().count() == 158  # == batch curate_table's number
+
+    # delta commit, second drain: ends at the full-recompute state
+    run_extraction(spark, pages_df(spark, 300), root)
+    drain()
+    got = {(r["text_md5"], r["url"]) for r in corpus.read().collect()}
+    from sanskrit_ocr_spark.extract.job import extracted_table
+    full = curate(extracted_table(spark, root).read()).select(
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"), "url")
+    assert got == {(r["text_md5"], r["url"]) for r in full.collect()}
+    assert len(got) == 234
+
+    # replay safety: an empty drain leaves the corpus snapshot alone
+    sid = corpus.snapshot_id()
+    drain()
+    assert corpus.snapshot_id() == sid
