@@ -2123,11 +2123,21 @@ class IceliteTable:
             raise
         return sid
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+    def expire_snapshots(self, keep_last: int = 2,
+                         older_than=None) -> list[int]:
         """Drop manifests (and data files referenced by NO retained
         snapshot) older than the last ``keep_last`` snapshots. Returns the
         expired snapshot ids. Time travel to expired ids stops working —
         exactly Iceberg's ``expire_snapshots`` contract.
+
+        ``older_than`` (datetime): Iceberg's ``expireOlderThan`` — only
+        snapshots whose ``committed_at_ms`` predates it are eligible, so
+        a time-based retention policy ("keep a week of history") expires
+        nothing on a quiet table. Composes with ``keep_last`` as the
+        ``retainLast`` floor: the newest ``keep_last`` snapshots survive
+        even when older than the cutoff. Both criteria select a PREFIX
+        (commit time is monotone along the chain), so expiry stays
+        prefix-shaped.
 
         The oldest retained manifest is first rewritten with its FULL
         resolved file list (``full: true``) so later parent-chain walks
@@ -2136,6 +2146,20 @@ class IceliteTable:
         if not head:
             return []
         oldest_keep = max(1, head - keep_last + 1)
+        if older_than is not None:
+            cutoff_ms = int(older_than.timestamp() * 1000)
+            ts_keep = head  # even an old HEAD is always retained
+            for sid in range(1, head + 1):
+                try:
+                    m = self._manifest(sid)
+                except FileNotFoundError:
+                    continue  # already expired
+                if m.get("committed_at_ms", 0) >= cutoff_ms:
+                    ts_keep = sid
+                    break
+            # min: the time criterion can only RETAIN more than the
+            # count floor, never expire into it (retainLast semantics)
+            oldest_keep = min(oldest_keep, ts_keep)
         # named refs (tags AND branches) pin history: expiry is
         # prefix-shaped, so the whole prefix up to the oldest ref is
         # retained (Iceberg's ref-retention contract — drop or move the

@@ -175,3 +175,47 @@ def test_history_reports_kinds_and_bookkeeping(spark, tmp_path):
     t2 = IceliteTable.__new__(IceliteTable)
     t2.root = str(tmp_path / "hist")
     assert t2.history() == h
+
+
+def test_expire_older_than(spark, tmp_path):
+    """r6: time-based expiry (Iceberg expireOlderThan + retainLast):
+    only snapshots committed before the cutoff are eligible, the
+    keep_last floor survives even a future cutoff, and a quiet table
+    expires nothing."""
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    schema = StructType([
+        StructField("k", LongType(), False),
+        StructField("v", StringType(), False),
+    ])
+    t = IceliteTable(spark, str(tmp_path / "ot"), schema)
+    t.append(spark.createDataFrame([(1, "a")], schema))   # 1
+    time.sleep(0.05)
+    mid = datetime.now()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "b")], schema))   # 2
+    t.append(spark.createDataFrame([(3, "c")], schema))   # 3
+    t.append(spark.createDataFrame([(4, "d")], schema))   # 4
+
+    # a cutoff far in the past expires nothing, whatever keep_last says
+    assert t.expire_snapshots(keep_last=1,
+                              older_than=mid - timedelta(days=1)) == []
+
+    # only snapshot 1 predates mid; 2-4 survive despite keep_last=1
+    assert t.expire_snapshots(keep_last=1, older_than=mid) == [1]
+    assert t.read(2).count() == 2          # time travel above the cut
+    assert t.read().count() == 4
+
+    # future cutoff: everything is "older", the retainLast floor holds
+    assert t.expire_snapshots(
+        keep_last=2, older_than=datetime.now() + timedelta(hours=1)) \
+        == [2]
+    assert t.read(3).count() == 3
+    assert t.read().count() == 4
