@@ -126,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
                         "runs load the persisted layout automatically)")
     p.add_argument("--compact-partitions", type=int, default=8,
                    help="target file count for --maintain compaction")
+    p.add_argument("--expire-older-than", default=None,
+                   metavar="TIMESTAMP",
+                   help="--maintain only: time-based snapshot expiry — "
+                        "only snapshots committed before this ISO "
+                        "timestamp are expired (--expire-keep stays the "
+                        "retainLast floor); a quiet table expires "
+                        "nothing")
     p.add_argument("--purge-before", default=None, metavar="TIMESTAMP",
                    help="--maintain only: retention purge — delete "
                         "extracted rows with warc_ts older than this "
@@ -227,16 +234,21 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
                 "/ --purge-before / --master / --shuffle-partitions)")
-    cutoff = None
-    if args.purge_before is not None:
+    import datetime as _dt
+
+    def _maintain_ts(value, flag):
+        if value is None:
+            return None
         if not args.maintain:
-            p.error("--purge-before is a --maintain retention action")
-        import datetime as _dt
+            p.error(f"{flag} is a --maintain retention action")
         try:
-            cutoff = _dt.datetime.fromisoformat(args.purge_before)
+            return _dt.datetime.fromisoformat(value)
         except ValueError:
-            p.error(f"--purge-before: not an ISO timestamp: "
-                    f"{args.purge_before!r}")
+            p.error(f"{flag}: not an ISO timestamp: {value!r}")
+
+    cutoff = _maintain_ts(args.purge_before, "--purge-before")
+    expire_cutoff = _maintain_ts(args.expire_older_than,
+                                 "--expire-older-than")
     if args.rows is not None and args.rows <= 0:
         p.error("--rows must be positive")
     if args.recrawl and args.merge_prefilter_buckets is not None:
@@ -387,7 +399,8 @@ def main(argv: list[str] | None = None) -> int:
                     F.col("warc_ts") < F.lit(cutoff),
                     prune={"warc_ts": (None, cutoff)})
                 sid = max(sid, psid)
-            expired = ext_t.expire_snapshots(keep_last=args.expire_keep)
+            expired = ext_t.expire_snapshots(keep_last=args.expire_keep,
+                                             older_than=expire_cutoff)
             orphans = ext_t.remove_orphans()
             out = {
                 "snapshot_id": sid,

@@ -49,6 +49,12 @@ from sanskrit_ocr_spark.extract.__main__ import main
     ["--evolve-partitioning", "--root", "/tmp/y", "--sort-ts"],
     ["--evolve-partitioning", "--root", "/tmp/y",
      "--publish-branch", "published"],
+    # retention timestamps are --maintain actions and must parse
+    ["--rows", "10", "--root", "/tmp/y", "--purge-before", "2025-01-01"],
+    ["--maintain", "--root", "/tmp/y", "--purge-before", "not-a-ts"],
+    ["--rows", "10", "--root", "/tmp/y",
+     "--expire-older-than", "2025-01-01"],
+    ["--maintain", "--root", "/tmp/y", "--expire-older-than", "nope"],
     # pre-existing guards still hold
     ["--rows", "0", "--root", "/tmp/y"],
     ["--root", "/tmp/y"],
