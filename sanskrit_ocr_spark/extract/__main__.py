@@ -233,7 +233,8 @@ def main(argv: list[str] | None = None) -> int:
                           or args.merge_prefilter_buckets is not None):
         p.error("--maintain takes only --root, --partitioned and "
                 "--curate-table (+ --compact-partitions / --expire-keep "
-                "/ --purge-before / --master / --shuffle-partitions)")
+                "/ --expire-older-than / --purge-before / --master / "
+                "--shuffle-partitions)")
     import datetime as _dt
 
     def _maintain_ts(value, flag):
