@@ -186,3 +186,69 @@ def test_streaming_source_drives_continuous_curation(spark, tmp_path):
     sid = corpus.snapshot_id()
     drain()
     assert corpus.snapshot_id() == sid
+
+
+def test_changelog_stream_matches_batch_changelog(spark, tmp_path):
+    """CDC mode: the stream's per-micro-batch insert/delete events are
+    exactly read_changelog over the same offset range — including full
+    delete pre-images at the earliest applicable delete, and the
+    exclusion of pre-range deaths on checkpoint resume."""
+    root = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(0, "a0"), (1, "b0"), (2, "c0")]))      # 1
+    t.merge_upsert_mor(_df(spark, [(0, "a1"), (1, "b1")]), "k")  # 2
+    t.append(_df(spark, [(3, "d0")]))                            # 3
+    t.merge_upsert_mor(_df(spark, [(0, "a2")]), "k")             # 4
+
+    def ev(rows):
+        return sorted((r[0], r[1], r[3], r[4]) for r in rows)
+
+    got = _drain(spark, root, ckpt, "cdc1", changelog="true")
+    want = ev(tuple(r) for r in t.read_changelog(0).collect())
+    assert ev(got) == want
+    # a2 insert at 4, a1 killed at 4, b0/a0 killed at 2, etc.
+    assert (0, "a1", "delete", 4) in ev(got)
+
+    # resume: only the NEW commits' events; a1's death at 5 is in
+    # range, a0/b0's deaths at 2 are not re-delivered
+    t.merge_upsert_mor(_df(spark, [(3, "d1")]), "k")             # 5
+    got2 = _drain(spark, root, ckpt, "cdc2", changelog="true")
+    assert ev(got2) == ev(
+        tuple(r) for r in t.read_changelog(4).collect())
+    assert ev(got2) == sorted([
+        (3, "d0", "delete", 5), (3, "d1", "insert", 5)])
+
+    # option conflict fails at stream start
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException) as e:
+        _drain(spark, root, str(tmp_path / "cx"), "cdc3",
+               changelog="true", skipDeletes="true")
+    assert "mutually exclusive" in str(e.value)
+
+
+def test_changelog_stream_fold_reaches_table_state(spark, tmp_path):
+    """Folding the CDC stream into a keyed mirror reproduces the
+    table — the end-to-end property an incremental consumer relies
+    on."""
+    root = str(tmp_path / "fold")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [(i, f"v{i}") for i in range(6)]))
+    t.merge_upsert_mor(_df(spark, [(2, "w2"), (4, "w4")]), "k")
+    t.merge_upsert_mor(_df(spark, [(2, "x2"), (6, "x6")]), "k")
+
+    mirror: dict = {}
+    rows = _drain(spark, root, str(tmp_path / "cf"), "fold1",
+                  changelog="true")
+    # apply deletes-then-inserts per commit, in commit order
+    from itertools import groupby
+    for sid, evs in groupby(sorted(rows, key=lambda r: r[4]),
+                            key=lambda r: r[4]):
+        evs = list(evs)
+        for r in evs:
+            if r[3] == "delete":
+                assert mirror.pop(r[0]) == r[1]
+        for r in evs:
+            if r[3] == "insert":
+                mirror[r[0]] = r[1]
+    assert mirror == {r["k"]: r["v"] for r in t.read().collect()}
