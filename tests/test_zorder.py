@@ -109,3 +109,33 @@ def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
     assert rows == 64
     assert files == 1
     assert t.read().count() == 512
+
+
+def test_zvalue_matches_python_reference(spark):
+    """The JVM bitwise z-value equals a straight Python bit-interleave
+    for random pre-scaled inputs (2 and 3 columns) — pins the shift
+    arithmetic so a codegen refactor can't silently scramble the
+    curve."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sanskrit_ocr_spark.tables.icelite import IceliteTable
+
+    def py_z(vals, bits=16):
+        z = 0
+        for b in range(bits):
+            for i, v in enumerate(vals):
+                z |= ((v >> b) & 1) << (b * len(vals) + i)
+        return z
+
+    rng = random.Random(42)
+    for ncols in (2, 3):
+        rows = [tuple(rng.randrange(0, 1 << 16) for _ in range(ncols))
+                for _ in range(200)]
+        cols = [f"c{i}" for i in range(ncols)]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long"
+                                                   for c in cols))
+        got = [r["z"] for r in df.select(IceliteTable._zvalue(
+            [F.col(c) for c in cols]).alias("z")).collect()]
+        assert got == [py_z(list(r)) for r in rows]
