@@ -206,14 +206,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.checkpoint and not args.stream_warc:
         p.error("--checkpoint is only meaningful with --stream-warc")
     if args.inspect and (args.recrawl or args.curate_dest
-                         or args.curate_table or args.wet_dest
+                         or args.wet_dest
                          or args.wet_table or args.partitioned
                          or args.salt_partitions is not None
                          or args.bucket_urls is not None
                          or args.bucket_hashes is not None
                          or args.sort_ts
                          or args.merge_prefilter_buckets is not None):
-        p.error("--inspect takes only --root")
+        p.error("--inspect takes only --root (or --curate-table to "
+                "inspect the curation corpus)")
     if args.history and (args.recrawl or args.curate_dest
                          or args.curate_table or args.wet_dest
                          or args.wet_table
@@ -306,7 +307,10 @@ def main(argv: list[str] | None = None) -> int:
 
         from sanskrit_ocr_spark.tables.icelite import IceliteTable
 
-        table_root = os.path.join(args.root, "extracted")
+        # default target: the extracted table; --curate-table points the
+        # same inspection at the curation corpus root instead
+        table_root = (args.curate_table
+                      or os.path.join(args.root, "extracted"))
         if not os.path.isdir(os.path.join(table_root, "_icelite")):
             print(f"error: no icelite table at {table_root}",
                   file=sys.stderr)

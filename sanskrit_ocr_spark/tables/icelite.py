@@ -1392,6 +1392,7 @@ class IceliteTable:
             manifest = {**self._inherited_meta(parent),
                         "snapshot_id": sid, "parent": parent,
                         "new_files": new_files, "upsert_mor": True,
+                        "updated_rows": updated, "inserted": n_batch,
                         "deletes": [{"sid": sid, "dir": del_dir,
                                      "key": key}]}
             if self.stat_cols:
@@ -1439,8 +1440,8 @@ class IceliteTable:
             row = {"snapshot_id": cur, "parent": m.get("parent", 0),
                    "kind": kind,
                    "n_files": len(m.get("new_files", m.get("files", [])))}
-            for k in ("inserted", "total_rows", "extracted_watermark",
-                      "committed_at_ms"):
+            for k in ("inserted", "updated_rows", "deleted", "total_rows",
+                      "extracted_watermark", "committed_at_ms"):
                 if k in m:
                     row[k] = m[k]
             out.append(row)
@@ -1819,7 +1820,8 @@ class IceliteTable:
     _OWN_BOOKKEEPING = frozenset({
         "inserted", "total_rows", "compacted", "merged_upsert",
         "upsert_mor", "committed_at_ms", "spec_evolved_to",
-        "sort_order_set", "zordered", "deleted_where", "deleted"})
+        "sort_order_set", "zordered", "deleted_where", "deleted",
+        "updated_rows"})
 
     def _inherited_meta(self, parent: int) -> dict:
         """Caller ``extra_meta`` keys carried forward from the PARENT
@@ -1886,7 +1888,7 @@ class IceliteTable:
                 keys.write.mode("error").parquet(del_dir)
                 manifest = {**self._inherited_meta(parent),
                             "snapshot_id": sid, "parent": parent,
-                            "new_files": [],
+                            "new_files": [], "deleted": deleted,
                             "deletes": [{"sid": sid, "dir": del_dir,
                                          "key": key}]}
                 if prev_total is not None:

@@ -148,3 +148,50 @@ def test_cli_inspect_no_spark(cli_root, tmp_path, kind, check):
         capture_output=True, text=True)
     assert missing.returncode == 2
     assert "no icelite table" in missing.stderr
+
+
+def test_history_reports_upsert_and_delete_counts(spark, tmp_path):
+    """r6: MOR upserts record updated_rows/inserted and equality
+    deletes record deleted in their manifests, so history() — and the
+    snapshots metadata table's summary — answer "what did that commit
+    do" without reading any data."""
+    t = IceliteTable(spark, str(tmp_path / "hc"), SCHEMA)
+    t.append(_batch(spark, 0, 50))
+    t.merge_upsert_mor(_batch(spark, 0, 10), "k")
+    t.delete_keys(
+        spark.createDataFrame([(k,) for k in range(5)], "k long"), "k")
+
+    by_sid = {h["snapshot_id"]: h for h in t.history()}
+    assert by_sid[2]["kind"] == "upsert"
+    assert by_sid[2]["updated_rows"] == 10
+    assert by_sid[2]["inserted"] == 10
+    assert by_sid[3]["kind"] == "delete"
+    assert by_sid[3]["deleted"] == 5
+    snaps = {r["snapshot_id"]: r for r in t.inspect_snapshots().collect()}
+    assert snaps[2]["summary"]["updated_rows"] == "10"
+    assert snaps[3]["summary"]["deleted"] == "5"
+
+
+def test_cli_inspect_corpus_table(cli_root, tmp_path):
+    """--inspect --curate-table points the inspection at the curation
+    corpus root instead of ROOT/extracted."""
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    run = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--rows", "100", "--root", cli_root, "--master", "local[4]",
+         "--curate-table", corpus],
+        capture_output=True, text=True)
+    assert run.returncode == 0, run.stderr
+    out = subprocess.run(
+        [sys.executable, "-m", "sanskrit_ocr_spark.extract",
+         "--inspect", "files", "--root", cli_root,
+         "--curate-table", corpus],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    payload = json.loads(out.stdout)
+    # 100 rows -> 79 curated docs (the x-table fixture arithmetic)
+    assert sum(r["record_count"] for r in payload["files"]) == \
+        json.loads(run.stdout)["corpus_incremental"]["corpus_total"]
