@@ -491,32 +491,41 @@ class IceliteTable:
                 paths = [entry]
             agg: dict = {}
             for p in paths:
-                md = pq.ParquetFile(p).metadata
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    for ci in range(row_group.num_columns):
-                        col = row_group.column(ci)
-                        name = col.path_in_schema
-                        if name not in want:
-                            continue
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            agg[name] = None  # poisoned: no bound
-                            continue
-                        mn = self._stat_ser(st.min)
-                        mx = self._stat_ser(st.max)
-                        if mn is None or mx is None:
-                            agg[name] = None
-                            continue
-                        cur = agg.get(name)
-                        if name in agg and cur is None:
-                            continue
-                        agg[name] = ([mn, mx] if cur is None or name not in agg
-                                     else [min(cur[0], mn), max(cur[1], mx)])
+                self._fold_md_stats(pq.ParquetFile(p).metadata, want, agg)
             stats = {k: v for k, v in agg.items() if v is not None}
             if stats:
                 out[entry] = stats
         return out
+
+    @classmethod
+    def _fold_md_stats(cls, md, want: set, agg: dict) -> None:
+        """Fold one parquet footer's row-group min/max for the ``want``
+        columns into ``agg`` (``None`` poisons a column: some row group
+        had no usable bound, so the caller records no bound at all —
+        conservative, never wrong). Shared by the per-entry commit-time
+        stats and the per-file inspection rows, so both read each
+        footer exactly once."""
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in want:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[name] = None  # poisoned: no bound
+                    continue
+                mn = cls._stat_ser(st.min)
+                mx = cls._stat_ser(st.max)
+                if mn is None or mx is None:
+                    agg[name] = None
+                    continue
+                cur = agg.get(name)
+                if name in agg and cur is None:
+                    continue
+                agg[name] = ([mn, mx] if cur is None or name not in agg
+                             else [min(cur[0], mn), max(cur[1], mx)])
 
     def _stats_at(self, sid: int) -> dict:
         """Cumulative per-file stats visible at ``sid`` — the same
@@ -1504,17 +1513,20 @@ class IceliteTable:
         sid = self.snapshot_id() if snapshot_id is None else snapshot_id
         groups, deletes = self._groups_at(sid) if sid else ([], [])
         rows: list[dict] = []
+        want = set(self.stat_cols)
         for csid, entries in groups:
             for entry in entries:
                 for p in self._parquet_under(entry):
-                    st = self._file_stats([p]).get(p, {})
+                    md = pq.ParquetFile(p).metadata  # ONE footer read
+                    agg: dict = {}
+                    self._fold_md_stats(md, want, agg)
+                    st = {k: v for k, v in agg.items() if v is not None}
                     rows.append({
                         "content": "data",
                         "file_path": p,
                         "commit_sid": csid,
                         "partition": self._partition_of(p),
-                        "record_count":
-                            pq.ParquetFile(p).metadata.num_rows,
+                        "record_count": md.num_rows,
                         "file_size_bytes": os.path.getsize(p),
                         "lower_bounds":
                             {c: str(b[0]) for c, b in st.items()} or None,
