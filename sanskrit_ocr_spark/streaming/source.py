@@ -46,6 +46,16 @@ ingest path covers them) — the synthetic ``__bucket`` level of
 bucket-layout tables is fine (the key column itself is stored in the
 files).
 
+Known limitation: no per-trigger rate limit (Iceberg/Delta's
+``maxFilesPerTrigger``). The Spark 4 Python Data Source API exposes no
+admission control — ``latestOffset()`` takes no start offset, so a
+reader-side cap could return an offset BELOW a restored checkpoint
+after restart and corrupt the range. Until the API grows admission
+control, a backfill over deep history arrives as one large (but still
+one-partition-per-file, fully parallel) micro-batch; bound it by
+starting the stream at ``starting=latest`` and batch-ingesting the
+history once.
+
 Schema: user-provided via ``.schema(...)``, else derived on the driver
 from the manifest chain's recorded schema (schema-evolved tables) or
 the newest data file's parquet footer. Files written before a schema
