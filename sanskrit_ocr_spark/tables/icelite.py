@@ -1391,8 +1391,11 @@ class IceliteTable:
             parent = self.snapshot_id()
             sid = parent + 1
             prev_total = self._total_rows_at(parent)
-            updated = (self.read(parent).select(key)
-                       .join(keys, key, "left_semi").count()) if parent else 0
+            # bucket-pruned on a bucket-layout table (see delete_keys)
+            updated = (self.read(
+                parent, buckets=self.bucket_ids_for(keys, key))
+                .select(key)
+                .join(keys, key, "left_semi").count()) if parent else 0
             data_dir, new_files = self._stage_data(df, sid)
             n_batch = self._staged_row_count(new_files)
             del_dir = os.path.join(
@@ -1891,8 +1894,14 @@ class IceliteTable:
                 parent = self.snapshot_id()
                 sid = parent + 1
                 prev_total = self._total_rows_at(parent)
-                deleted = (self.read(parent).select(key)
-                           .join(keys, key, "left_semi").count()) \
+                # the deleted-count scan prunes to the keys' buckets on
+                # a bucket-layout table (same discipline as the MERGE
+                # probe — at 10^12 rows the count must not scan the
+                # table; bucket_ids_for is None on other layouts/keys)
+                deleted = (self.read(
+                    parent, buckets=self.bucket_ids_for(keys, key))
+                    .select(key)
+                    .join(keys, key, "left_semi").count()) \
                     if parent else 0
                 del_dir = os.path.join(
                     self.root, "data",

@@ -212,3 +212,35 @@ def test_resume_probe_reads_bucket_pruned(spark, tmp_path):
     assert r["inserted"] == 0
     r = run_extraction(spark, pages(200, 210), root, committed_at=ts)
     assert r["inserted"] == 10
+
+
+def test_count_scans_bucket_pruned_for_mor_and_delete_keys(
+        spark, tmp_path):
+    """r6: the updated/deleted row-count scans inside merge_upsert_mor
+    and delete_keys prune to the key batch's buckets on a bucket-layout
+    table — counts identical to the flat layout, and the pruned read
+    the counts ride demonstrably touches only the matching bucket
+    files."""
+    b = _table(spark, tmp_path, "cnt")
+    flat = IceliteTable(spark, str(tmp_path / "flat"), SCHEMA)
+    for t in (b, flat):
+        t.append(_batch(spark, 0, 200))
+
+    up = _batch(spark, 0, 7, tag="v2", day=2)
+    _, upd_b = b.merge_upsert_mor(up, "url", order_col="warc_ts")
+    _, upd_f = flat.merge_upsert_mor(up, "url", order_col="warc_ts")
+    assert upd_b == upd_f == 7
+
+    keys = spark.createDataFrame(
+        [(f"https://ex.org/{i}",) for i in range(3, 10)], "url string")
+    _, del_b = b.delete_keys(keys, "url")
+    _, del_f = flat.delete_keys(keys, "url")
+    assert del_b == del_f == 7
+    assert b.read().count() == flat.read().count() == 193
+
+    # the pruned form the counts use really narrows the scan
+    ids = b.bucket_ids_for(keys, "url")
+    assert ids is not None and 0 < len(ids) <= N_BUCKETS
+    pruned = b.read(buckets=ids)
+    full = b.read()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
