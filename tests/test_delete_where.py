@@ -179,3 +179,48 @@ def test_cli_retention_purge(tmp_path):
          "--maintain", "--root", root, "--purge-before", "not-a-ts"],
         capture_output=True, text=True)
     assert bad2.returncode == 2
+
+
+def test_delete_where_on_partitioned_and_bucketed_layouts(
+        spark, tmp_path):
+    """delete_where rewrites through each physical layout: hive
+    partition dirs are re-staged under the same spec (no
+    __HIVE_DEFAULT_PARTITION__), bucket layouts re-bucket the
+    survivors, and results match the flat table."""
+    from pyspark.sql.types import StringType
+
+    hive_schema = StructType([
+        StructField("k", LongType(), False),
+        StructField("day", StringType(), False),
+        StructField("v", StringType(), False),
+    ])
+
+    def hbatch(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"d{i % 3}", f"v-{i}") for i in range(lo, hi)],
+            hive_schema)
+
+    hive = IceliteTable(spark, str(tmp_path / "hive"), hive_schema,
+                        partition_cols=["day"])
+    hive.append(hbatch(0, 300))
+    sid, deleted = hive.delete_where(F.col("k") < 100)
+    assert deleted == 100
+    got = {(r["k"], r["day"]) for r in hive.read().collect()}
+    assert got == {(i, f"d{i % 3}") for i in range(100, 300)}
+    # the rewrite landed in proper hive dirs
+    import glob
+    assert not glob.glob(str(tmp_path / "hive") +
+                         "/**/__HIVE_DEFAULT_PARTITION__*",
+                         recursive=True)
+    assert hive.read().filter(F.col("day") == "d1").count() == 67
+
+    bkt = IceliteTable(spark, str(tmp_path / "bkt"), SCHEMA,
+                       bucket=("v", 4))
+    bkt.append(_batch(spark, 0, 300))
+    _, deleted_b = bkt.delete_where(F.col("k") < 100)
+    assert deleted_b == 100
+    assert sorted(r["k"] for r in bkt.read().collect()) == \
+        list(range(100, 300))
+    # survivors re-bucketed: pruned reads still partition the table
+    per = [bkt.read(buckets=[b]).count() for b in range(4)]
+    assert sum(per) == 200
