@@ -224,3 +224,32 @@ def test_delete_where_on_partitioned_and_bucketed_layouts(
     # survivors re-bucketed: pruned reads still partition the table
     per = [bkt.read(buckets=[b]).count() for b in range(4)]
     assert sum(per) == 200
+
+
+def test_delete_where_lost_commit_race_cleans_staging(spark, tmp_path):
+    """A writer that loses the optimistic-commit race must remove its
+    staged rewrite and leave the winner's table untouched (the
+    rewrite is re-derivable; retrying is the caller's call)."""
+    import glob
+
+    from sanskrit_ocr_spark.tables.icelite import ConcurrentCommitError
+
+    root = str(tmp_path / "race")
+    t1 = IceliteTable(spark, root, SCHEMA)
+    t2 = IceliteTable(spark, root, SCHEMA)
+    t1.append(_batch(spark, 0, 100))
+
+    orig = t1._commit_manifest
+
+    def race(sid, manifest):
+        t2.append(_batch(spark, 100, 110))  # steals snapshot 2
+        orig(sid, manifest)
+
+    t1._commit_manifest = race
+    with pytest.raises(ConcurrentCommitError):
+        t1.delete_where(F.col("k") < 50)
+    # exactly ONE commit-2 staging dir survives: the winner's
+    assert len(glob.glob(f"{root}/data/commit-2-*")) == 1
+    fresh = IceliteTable(spark, root, SCHEMA)
+    assert fresh.snapshot_id() == 2
+    assert fresh.read().count() == 110  # nothing deleted, nothing lost
