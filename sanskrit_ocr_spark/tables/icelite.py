@@ -772,8 +772,18 @@ class IceliteTable:
         changelog scan refuses rewritten ranges the same way)."""
         to_sid = self.snapshot_id() if to_sid is None else to_sid
         schema = self.schema_at(to_sid)
-        self._range_walk(since_sid, to_sid)  # provenance check (raises)
+        # provenance check (raises on seals) + the range's own deletes:
+        # only THEY can emit delete events, so a range without them is
+        # an inserts-only plan — pre-range file groups constant-fold
+        # out of the scan (plan-pinned in tests/test_changelog.py)
+        _, range_deletes = self._range_walk(since_sid, to_sid)
         groups, deletes = self._groups_at(to_sid)
+        if not range_deletes:
+            deletes = []
+        else:
+            # rows committed at/above the newest in-range delete cannot
+            # die in range — bound the pre-image scan there
+            max_dsid = max(d["sid"] for d in range_deletes)
         base_cols = [f.name for f in schema.fields]
         out_schema = StructType(
             list(schema.fields)
@@ -794,6 +804,10 @@ class IceliteTable:
         by_key: dict[str, list[dict]] = {}
         for d in deletes:
             by_key.setdefault(d["key"], []).append(d)
+        if by_key:
+            # per-part csid is a literal, so this folds away every
+            # group committed at/above the newest in-range delete
+            cand = data.filter(F.col("__csid") < F.lit(max_dsid))
         del_cols: list[str] = []
         for i, (key, ds) in enumerate(sorted(by_key.items())):
             dk = None
@@ -806,7 +820,7 @@ class IceliteTable:
                      .agg(F.sort_array(F.collect_set("__dsid"))
                           .alias("__dsids")))
             col = f"__del_{i}"
-            data = (data.join(F.broadcast(sched),
+            cand = (cand.join(F.broadcast(sched),
                               F.col(key) == F.col("__dk"), "left")
                     .withColumn(col, F.array_min(F.filter(
                         F.col("__dsids"),
@@ -816,7 +830,7 @@ class IceliteTable:
         if del_cols:
             fate = (F.least(*del_cols) if len(del_cols) > 1
                     else F.col(del_cols[0]))
-            dels = (data.withColumn("__del_sid", fate)
+            dels = (cand.withColumn("__del_sid", fate)
                     .filter(F.col("__del_sid") > F.lit(since_sid))
                     .withColumn("_change_type", F.lit("delete"))
                     .withColumn("_commit_sid", F.col("__del_sid")))

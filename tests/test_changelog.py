@@ -116,3 +116,26 @@ def test_multiple_deletes_same_key_single_death(spark, tmp_path):
         (7, "v1", "insert", 2), (7, "v1", "delete", 3),
         (7, "v2", "insert", 3),
     ])
+
+
+def test_changelog_plan_broadcasts_schedule_no_window(spark, table):
+    """Plan pin (100x lens): the delete-fate resolution is ONE
+    broadcast join against the per-key schedule — no sort-merge join,
+    no window, no per-delete-commit join stack; and Catalyst
+    constant-folds pre-range groups out of an inserts-only range."""
+    p = (table.read_changelog(0)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    # one join per delete KEY COLUMN (here: one), not per delete commit
+    assert p.count("BroadcastHashJoin") == 1
+
+    # inserts-only range (above the last delete at 4): the pre-range
+    # file groups fold away — the scan reads no commit-1/2 files
+    table.append(_df(spark, [(9, "z0")]))                        # 5
+    files = table.read_changelog(4).inputFiles()
+    assert files
+    assert all("commit-5-" in f or "commit-3-" in f or "commit-4-" in f
+               for f in files)
+    assert not any("commit-1-" in f or "commit-2-" in f for f in files)
