@@ -35,16 +35,26 @@ from sanskrit_ocr_spark.ops.util import keep_first
 MIN_GRAPHEMES = 20
 
 
+def curate_gates(extracted: DataFrame,
+                 min_graphemes: int = MIN_GRAPHEMES) -> DataFrame:
+    """The narrow (no-shuffle) status/quality gate stage of :func:`curate`
+    — split out so callers can probe batch emptiness WITHOUT paying the
+    dedup shuffle: the keep_first below never empties a non-empty input,
+    so ``curate(df).isEmpty() == curate_gates(df).isEmpty()`` and the
+    gate-only probe is a limit-1 scan."""
+    return (extracted
+            .filter(F.col("status") == "OK")
+            .filter(F.col("n_graphemes") >= min_graphemes)
+            .filter(F.size("sentences") >= 1)
+            .select("url", "warc_ts", "text", "n_graphemes",
+                    F.size("sentences").alias("n_sentences")))
+
+
 def curate(extracted: DataFrame, min_graphemes: int = MIN_GRAPHEMES) -> DataFrame:
     """Extraction output → curated corpus rows
     ``(url, warc_ts, text, n_graphemes, n_sentences)``."""
-    ok = (extracted
-          .filter(F.col("status") == "OK")
-          .filter(F.col("n_graphemes") >= min_graphemes)
-          .filter(F.size("sentences") >= 1)
-          .select("url", "warc_ts", "text", "n_graphemes",
-                  F.size("sentences").alias("n_sentences")))
-    return keep_first(ok, "text", ["warc_ts", "url"])
+    return keep_first(curate_gates(extracted, min_graphemes),
+                      "text", ["warc_ts", "url"])
 
 
 def write_corpus(corpus: DataFrame, dest: str,
@@ -229,11 +239,15 @@ def curate_table(spark, corpus_root: str, extracted,
         _, retracted = corpus.delete_keys(
             stale.select("text_md5"), "text_md5")
 
-    batch = curate(delta, min_graphemes=min_graphemes)
-    batch = batch.select(
+    gated = curate_gates(delta, min_graphemes=min_graphemes)
+    batch = keep_first(gated, "text", ["warc_ts", "url"]).select(
         F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
         "url", "warc_ts", "text", "n_graphemes", "n_sentences")
-    if batch.isEmpty():
+    # emptiness probed on the NARROW gate stage (r7): keep_first never
+    # empties a non-empty input, so this is equivalent to batch.isEmpty()
+    # — but it early-exits as a limit-1 scan instead of running the full
+    # dedup shuffle once for the probe and AGAIN for the merge below
+    if gated.isEmpty():
         if retracted:
             # retraction was this run's only data change: advance the
             # watermark on a metadata-only commit so the processed

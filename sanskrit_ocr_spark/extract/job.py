@@ -15,6 +15,7 @@ converges to the same table (tests/test_icelite_resume.py).
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,13 +145,22 @@ def evolve_extracted_layout(spark: SparkSession, root: str) -> dict:
             "columns_added": [f.name for f in added]}
 
 
-def sync_publish_branch(ext: IceliteTable, branch: str) -> None:
+def sync_publish_branch(ext: IceliteTable, branch: str,
+                        lin: IceliteTable | None = None) -> None:
     """Make the publish branch the source of truth before ingesting:
     adopt a pre-WAP table's current state as published, and roll back
     any staging left above the branch (a crash between commit and
     publish, or an audit-less writer) so the resume probe never builds
     on unaudited rows. Shared by the batch job and the streaming
-    ingest."""
+    ingest.
+
+    ``lin``: the run's lineage table — the heal also deletes lineage
+    rows whose ``snapshot_id`` exceeds the rollback target (r7,
+    ADVICE): snapshot ids are REUSED after a rollback, so without this
+    the re-extraction appends a second generation of lineage rows under
+    the same sid and the CLI fail tallies double-count the discarded
+    batch (the audited reject arm already avoids this by never writing
+    lineage for a rejected snapshot)."""
     head = ext.snapshot_id()
     published = ext.branches().get(branch)
     if published is None:
@@ -158,6 +168,8 @@ def sync_publish_branch(ext: IceliteTable, branch: str) -> None:
             ext.set_branch(branch, head)
     elif published < head:
         ext.rollback_to(published)
+        if lin is not None and lin.snapshot_id():
+            lin.delete_where(F.col("snapshot_id") > published)
 
 
 def audit_tallies(extracted: DataFrame) -> tuple[dict, float]:
@@ -227,7 +239,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     lin = lineage_table(spark, root)
 
     if publish_branch is not None:
-        sync_publish_branch(ext, publish_branch)
+        sync_publish_branch(ext, publish_branch, lin=lin)
 
     # resume probe: on a bucket-layout table, scan only the committed
     # bucket directories the incoming batch's urls can hash into — a
@@ -237,7 +249,11 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     # are a subset of pages', so these ids are a covering superset)
     batch_bucket_ids = None if recrawl else \
         ext.bucket_ids_for(pages, "url")
-    todo = pages if recrawl else \
+    # first commit against an empty table: skip the anti-join outright —
+    # the empty committed side is RDD-backed, so the optimizer cannot
+    # prove it empty and would shuffle the full html payload for a
+    # vacuous join (r7; measured as one whole extra payload exchange)
+    todo = pages if recrawl or not ext.snapshot_id() else \
         pages.join(ext.read(buckets=batch_bucket_ids).select("url"),
                    "url", "left_anti")
     extracted = extract_pages(todo, salt_partitions=salt_partitions)
@@ -246,17 +262,26 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
             "warc_day", F.to_date("warc_ts")
         ).withColumn(
             "bucket", F.pmod(F.col("part_hash"), F.lit(64)).cast("long"))
-    # One pass is consumed twice (commit + lineage): persist the UDF output
-    # so the expensive parse never runs twice per page. DISK_ONLY, not the
-    # default MEMORY_AND_DISK: the nested `sentences` column makes the
-    # in-memory columnar cache build CPU/GC-heavy (measured at 80k rows on
-    # local[32], median of 3: cache 5.9s, DISK_ONLY 4.0s, staging-parquet
-    # 5.0s, recompute 6.8s — and cache showed a 10.6s GC-pressure tail).
-    # At 100 TB the UDF output must not occupy executor memory anyway;
-    # serialized batches on local spill disks are the scale-safe shape.
-    from pyspark import StorageLevel
+    # One pass is consumed twice (commit + lineage): materialize the UDF
+    # output ONCE as a columnar parquet staging dir so the expensive parse
+    # never runs twice per page. Parquet, not persist(DISK_ONLY) (r7): the
+    # nested `sentences` column makes block-cache materialization
+    # Java-serialization/GC-heavy and its re-reads deserialize EVERY
+    # column, while the lineage pass only needs (part_hash, status) — a
+    # column-pruned parquet scan. Measured at 80k rows on local[32]
+    # (steady state ×3): DISK_ONLY persist 5.4–17.7s for the whole
+    # commit, parquet staging 4.6–5.0s with no cold-plan tail and no GC
+    # debt bleeding into the next job. At 100 TB the UDF output must not
+    # occupy executor memory either way; columnar batches on shared
+    # storage are the scale-safe shape, and every downstream consumer
+    # (merge write, lineage agg, audit tally) prunes to the columns it
+    # needs.
+    import shutil
+    import uuid
 
-    extracted = extracted.persist(StorageLevel.DISK_ONLY)
+    stage_dir = os.path.join(root, "_staging_extract", uuid.uuid4().hex[:12])
+    extracted.write.mode("error").parquet(stage_dir)
+    extracted = spark.read.schema(extracted.schema).parquet(stage_dir)
     try:
         pre_sid = ext.snapshot_id()
         if recrawl:
@@ -309,4 +334,4 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
             res["audit"] = audit
         return res
     finally:
-        extracted.unpersist()
+        shutil.rmtree(stage_dir, ignore_errors=True)

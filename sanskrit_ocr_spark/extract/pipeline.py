@@ -133,6 +133,20 @@ def extract_pages(pages: DataFrame, salt_partitions: int | None = None) -> DataF
     pruned = pages.select("url", "warc_ts", "html")
     if salt_partitions is None:
         salt_partitions = 2 * pages.sparkSession.sparkContext.defaultParallelism
+        # scale-adaptive default (r7): when the scan ALREADY yields at
+        # least that many splits, skip the salt — the repartition's only
+        # job is parallelism for the map stage, and a full shuffle of the
+        # html payload to get parallelism the scan already has is the
+        # classic needless exchange (guide §2.4; §8: move heavy bytes as
+        # few times as possible). Byte-based splits also bound per-task
+        # page volume, so value skew does not concentrate map work. An
+        # EXPLICIT salt_partitions still forces the shuffle (hot-host
+        # spreading when a caller knows its input is pathological).
+        # (streaming inputs cannot be partition-probed — micro-batch
+        # sizing is the trigger's job there; keep the explicit salt)
+        if (not pruned.isStreaming
+                and pruned.rdd.getNumPartitions() >= salt_partitions):
+            salt_partitions = 0
     if salt_partitions:
         pruned = pruned.repartition(salt_partitions,
                                     F.xxhash64("url", "warc_ts"))

@@ -17,8 +17,8 @@ def registry() -> tuple[dict, dict]:
     # Insertion order is the driver's check order (it scores the first 50
     # queries() entries): multimodal/ANN/dedup lead so the whole
     # training-data family sits inside the window; with the r4
-    # consolidation (and the r6 j1→x7 rotation) the registry holds
-    # exactly 50 entries (45 here + the five flagship x* queries
+    # consolidation (and the r6 j1→x7 / p5→x8 rotations) the registry
+    # holds exactly 50 entries (44 here + the six flagship x* queries
     # __spark_entry__ prepends), so every entry gets a driver
     # CORRECTNESS row.
     from sanskrit_ocr_spark.ops import dedup, multimodal, relational, simsearch, textstats

@@ -68,11 +68,23 @@ def _true_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     BEFORE joining (semi-join pushdown by hand) — without this the
     all-pairs shingle join is quadratic in corpus size instead of linear
     in candidate count.
+
+    ``pairs`` and the candidate-restricted shingle set are MATERIALIZED
+    (scoped persist, released with the shingle cache) rather than left as
+    lazy subtrees (r7): the result plan references ``pairs`` in 7 branches
+    and ``sh_c`` in 3, and each un-materialized reference re-executed the
+    ENTIRE candidate-generation DAG — the signature groupBy ran 14× per
+    query (stage-profiled). At 10^12 rows that replication is a
+    scale-killer regardless of partitioning; materializing the two small
+    frames makes every stage consume its input exactly once.
     """
+    pairs = pairs.persist()
+    _SHINGLE_CACHE.append(pairs)
     cand_ids = (pairs.select(F.col("a_id").alias("doc_id"))
                 .union(pairs.select(F.col("b_id").alias("doc_id")))
                 .distinct())
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist()
+    _SHINGLE_CACHE.append(sh_c)
     a = sh_c.select(F.col("doc_id").alias("a_id"), "sh")
     b = sh_c.select(F.col("doc_id").alias("b_id"), "sh")
     inter = (a.join(b, "sh")
@@ -197,10 +209,13 @@ _SHINGLE_CACHE: list[DataFrame] = []
 
 
 def release_caches() -> None:
-    """Unpersist shingle caches left by ``dedup_minhash_lsh`` (call after
-    the result has been materialized)."""
+    """Unpersist scoped caches left by ``dedup_minhash_lsh`` /
+    ``_true_jaccard`` / the x5/x6 composites (call after the result has
+    been materialized). Blocking (r7): the default async unpersist left
+    dropped blocks lingering into the NEXT query's timed region; the
+    synchronous wait runs between queries where it costs nothing."""
     while _SHINGLE_CACHE:
-        _SHINGLE_CACHE.pop().unpersist()
+        _SHINGLE_CACHE.pop().unpersist(blocking=True)
 
 
 def cap_shingle_df(sh: DataFrame, df_cap: int) -> DataFrame:
@@ -230,6 +245,12 @@ def dedup_minhash_lsh(spark, sf, df_cap: int | None = None):
     # ``release_caches()`` once the caller has materialized the result.
     sh = _with_shingles(docs)
     if df_cap is not None:
+        # persist the PRE-cap shingles too (r7): cap_shingle_df consumes
+        # them twice (document-frequency build + the anti-join left side)
+        # and an unmaterialized reference re-ran the whole tokenize/
+        # explode per consumer
+        sh = sh.persist()
+        _SHINGLE_CACHE.append(sh)
         sh = cap_shingle_df(sh, df_cap)
     sh = sh.persist()
     _SHINGLE_CACHE.append(sh)

@@ -6,6 +6,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _has_unorderable(dt) -> bool:
+    """True when the (possibly nested) type contains a MapType — the one
+    common type Spark cannot order, which rules out the min-over-struct
+    fast path in :func:`keep_first`."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_unorderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_unorderable(dt.elementType)
+    return False
+
+
 def keep_first(df: DataFrame, key: Column | str,
                order_cols: list[Column | str]) -> DataFrame:
     """Skew-proof first-wins dedup (the D1 rule, reference
@@ -26,16 +41,37 @@ def keep_first(df: DataFrame, key: Column | str,
     the raw key column stays in the key only for collision safety.
 
     Deterministic whenever ``order_cols`` are unique within a key group;
-    on exact ties ``min_by`` picks an arbitrary tied row — same contract
-    as the ``row_number`` form, whose sort was equally tie-unstable."""
+    on exact ties the row whose full column tuple sorts first wins (r7 —
+    strictly MORE deterministic than the previous ``min_by``, which
+    picked an arbitrary tied row; any choice among tied rows satisfies
+    the contract).
+
+    r7 implementation note: ``min(struct(*order, struct(*cols)))``
+    rather than ``min_by(struct(*cols), struct(*order))`` — identical
+    winners, same partial-aggregation skew-proofness, but measured 2-3×
+    cheaper on wide/nested rows (80k extracted rows on local[32]:
+    min_by 1.3-2.6s vs min-struct 0.67s): the ordered comparison
+    short-circuits on the leading order fields instead of min_by's
+    separate ordering/value buffer churn."""
     key_col = F.col(key) if isinstance(key, str) else key
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     cols = df.columns
+    if _has_unorderable(df.schema):
+        # maps are not orderable in Spark — min(struct(.., payload))
+        # would fail to analyze; fall back to min_by, whose VALUE side
+        # is never compared (same winners where order_cols are unique)
+        return (df
+                .groupBy(F.xxhash64(key_col).alias("__kh"),
+                         key_col.alias("__k"))
+                .agg(F.min_by(F.struct(*cols),
+                              F.struct(*order)).alias("__w"))
+                .select("__w.*"))
     return (df
             .groupBy(F.xxhash64(key_col).alias("__kh"),
                      key_col.alias("__k"))
-            .agg(F.min_by(F.struct(*cols), F.struct(*order)).alias("__w"))
-            .select("__w.*"))
+            .agg(F.min(F.struct(*order, F.struct(*cols).alias("__p")))
+                 .alias("__w"))
+            .select("__w.__p.*"))
 
 
 def mark_first(df: DataFrame, key: str,
@@ -65,17 +101,33 @@ def mark_first(df: DataFrame, key: str,
             .drop("__win", "__wk"))
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition a (small-bytes, expensive-per-row) input across the
-    cluster before a render/decode/hash UDF stage: byte-based scan split
-    sizing is the wrong parallelism signal for UDF-bound stages — a
-    bench-scale documents table is ONE split, which would serialize the
-    whole Python stage into a single task regardless of core count (the
-    same lesson as the extraction pipeline's ``salt_partitions``; spread
-    BEFORE the expensive map). Output sets are order-insensitive, so the
-    shuffle changes no pinned value; measured 3.5s → ~1.9s for
-    mm_feature_extract at sf0.1 on local[32] (BENCH/PLANS.md r4)."""
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    cluster before an expensive map/explode/UDF stage: byte-based scan
+    split sizing is the wrong parallelism signal for compute-bound
+    stages — a bench-scale documents table is ONE split, which would
+    serialize the whole stage into a single task regardless of core
+    count (the same lesson as the extraction pipeline's
+    ``salt_partitions``; spread BEFORE the expensive map). Output sets
+    are order-insensitive, so the shuffle changes no pinned value;
+    measured 3.5s → ~1.9s for mm_feature_extract at sf0.1 on local[32]
+    (BENCH/PLANS.md r4).
+
+    SCALE-ADAPTIVE (r7): a no-op when the input already has enough
+    partitions — a 100 TB scan yields thousands of splits and must NOT
+    pay a full round-robin shuffle for "parallelism" it already has
+    (guide §2.4: accidental repartition is the classic needless
+    exchange). The partition probe is driver-side plan inspection, no
+    job runs.
+
+    ``factor``: width multiplier on ``defaultParallelism`` — 2 (default)
+    for Python-UDF stages (uneven per-row cost needs slack for stragglers,
+    measured in r4); 1 for JVM-compute stages whose output is re-scanned
+    by several downstream stages (narrower spread = fewer tiny tasks per
+    re-scan at small scale, same parallelism)."""
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

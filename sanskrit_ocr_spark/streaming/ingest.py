@@ -135,7 +135,7 @@ def _start_extract_stream(spark: SparkSession, pages_stream, root: str,
         # branch = source of truth before the stream starts: adopt a
         # pre-WAP table, and discard any staging a crash left above the
         # branch (same recovery contract as the batch job)
-        sync_publish_branch(ext, publish_branch)
+        sync_publish_branch(ext, publish_branch, lin=lin)
 
     extracted = extract_pages(pages_stream)
 

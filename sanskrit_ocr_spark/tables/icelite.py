@@ -205,18 +205,39 @@ class IceliteTable:
             with open(sort_path) as f:
                 self.sort_cols = json.load(f)["sort_cols"]
         # bucket layout declaration: persisted at creation, loaded by
-        # later handles (maintenance must rewrite under the same layout)
+        # later handles (maintenance must rewrite under the same layout).
+        # Same loud-fail discipline as the partition-spec branch above
+        # (r7, ADVICE): a declared bucket that DIFFERS from the stored
+        # spec, or a bucket declared on an existing data-bearing table
+        # with no stored spec, is rejected — silently keeping it would
+        # make bucket-pruned reads miss existing rows (files hashed
+        # under a different N, or no __bucket dirs at all), and a
+        # bucket-pruned MERGE would then re-insert already-committed
+        # keys.
         bucket_path = os.path.join(root, "_icelite", "bucket_spec.json")
-        if (self.bucket and not os.path.exists(bucket_path)
-                and self.snapshot_id() == 0):
-            fd, tmp = tempfile.mkstemp(dir=os.path.join(root, "_icelite"))
-            with os.fdopen(fd, "w") as f:
-                json.dump({"key": self.bucket[0], "n": self.bucket[1]}, f)
-            os.replace(tmp, bucket_path)
-        elif not self.bucket and os.path.exists(bucket_path):
+        if os.path.exists(bucket_path):
             with open(bucket_path) as f:
                 spec = json.load(f)
-            self.bucket = (spec["key"], spec["n"])
+            stored = (spec["key"], spec["n"])
+            if self.bucket and tuple(self.bucket) != stored:
+                raise ValueError(
+                    f"declared bucket {self.bucket} differs from the "
+                    f"table's persisted bucket spec {stored}")
+            self.bucket = stored
+        elif self.bucket:
+            if self.snapshot_id() == 0:
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.join(root, "_icelite"))
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"key": self.bucket[0],
+                               "n": self.bucket[1]}, f)
+                os.replace(tmp, bucket_path)
+            else:
+                raise ValueError(
+                    f"bucket {self.bucket} declared on an existing "
+                    f"table with no persisted bucket spec — existing "
+                    f"files are not bucketed; create the table with "
+                    f"the bucket layout instead")
 
     @property
     def _phys_cols(self) -> list[str]:
@@ -259,16 +280,42 @@ class IceliteTable:
             history = stored.get(
                 "history", [{"cols": stored["partition_cols"],
                              "from_sid": 1}])
-        # the evolution commit carries the schema so later handles
-        # resolve the layout columns regardless of their creation schema
-        sid = self.commit_meta({
-            "spec_evolved_to": new_cols,
-            "schema": self.current_schema().jsonValue()})
-        history.append({"cols": new_cols, "from_sid": sid})
+        # SPEC FILE FIRST, marker commit second (r7, ADVICE): a crash
+        # between the two then leaves a spec file ahead of history — a
+        # benign state (new commits stage under the intended layout,
+        # mixed-layout reads attribute physically, a retried evolve
+        # reports "already the active spec") — instead of the old
+        # order's history-asserts-an-evolution-the-spec-never-recorded
+        # state, which silently kept staging under the OLD layout with
+        # no recovery path. ``from_sid`` is the intended marker sid; on
+        # a lost commit race the previous spec file is restored.
+        prev_spec = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                prev_spec = f.read()
+        intended_sid = self.snapshot_id() + 1
+        history.append({"cols": new_cols, "from_sid": intended_sid})
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "_icelite"))
         with os.fdopen(fd, "w") as f:
             json.dump({"partition_cols": new_cols, "history": history}, f)
         os.replace(tmp, spec_path)
+        try:
+            # the evolution commit carries the schema so later handles
+            # resolve the layout columns regardless of creation schema
+            sid = self.commit_meta({
+                "spec_evolved_to": new_cols,
+                "schema": self.current_schema().jsonValue()})
+        except ConcurrentCommitError:
+            # restore the pre-evolution spec — the marker never landed
+            if prev_spec is None:
+                os.unlink(spec_path)
+            else:
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.join(self.root, "_icelite"))
+                with os.fdopen(fd, "w") as f:
+                    f.write(prev_spec)
+                os.replace(tmp, spec_path)
+            raise
         self.partition_cols = new_cols
         return sid
 
@@ -443,6 +490,15 @@ class IceliteTable:
         if isinstance(v, (int, float, str)):
             return v
         if isinstance(v, _dt.datetime):
+            # recorded parquet-footer bounds are UTC wall-clock strings:
+            # convert tz-AWARE predicate values to UTC first (r7, ADVICE)
+            # — a negative-offset ISO timestamp otherwise serialized to a
+            # string EARLIER than its true UTC instant, breaking the
+            # over-approximation contract of range pruning (entries
+            # containing matching rows could be skipped). Naive
+            # datetimes are documented as UTC and pass through.
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return v.strftime("%Y-%m-%d %H:%M:%S.%f")
         if isinstance(v, _dt.date):
             return v.isoformat()
@@ -1276,14 +1332,24 @@ class IceliteTable:
         for _ in range(3):
             parent = self.snapshot_id()
             parent_total = self._total_rows_at(parent)
-            existing = self.read(parent, buckets=merge_buckets).select(key)
-            if prefilter_buckets:
-                bucket = F.pmod(F.xxhash64(key), F.lit(prefilter_buckets))
-                batch_buckets = df.select(bucket.alias("__mb")).distinct()
-                existing = existing.join(
-                    F.broadcast(batch_buckets),
-                    bucket == F.col("__mb"), "left_semi")
-            fresh = df.join(existing, key, "left_anti")
+            if not parent:
+                # first commit: nothing committed, nothing to anti-join.
+                # The explicit skip matters because the empty read() is
+                # RDD-backed (the optimizer cannot constant-fold it away)
+                # and the vacuous join would shuffle the whole batch (r7)
+                fresh = df
+            else:
+                existing = self.read(parent,
+                                     buckets=merge_buckets).select(key)
+                if prefilter_buckets:
+                    bucket = F.pmod(F.xxhash64(key),
+                                    F.lit(prefilter_buckets))
+                    batch_buckets = df.select(
+                        bucket.alias("__mb")).distinct()
+                    existing = existing.join(
+                        F.broadcast(batch_buckets),
+                        bucket == F.col("__mb"), "left_semi")
+                fresh = df.join(existing, key, "left_anti")
             inserted = 0
 
             def meta(new_files):
@@ -2184,6 +2250,13 @@ class IceliteTable:
             return []
         oldest_keep = max(1, head - keep_last + 1)
         if older_than is not None:
+            # committed_at_ms is UTC epoch millis: interpret a NAIVE
+            # cutoff as UTC (r7, ADVICE) — .timestamp() on a naive
+            # datetime would otherwise apply the system-local offset
+            import datetime as _dt
+
+            if older_than.tzinfo is None:
+                older_than = older_than.replace(tzinfo=_dt.timezone.utc)
             cutoff_ms = int(older_than.timestamp() * 1000)
             ts_keep = head  # even an old HEAD is always retained
             for sid in range(1, head + 1):

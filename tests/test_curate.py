@@ -93,9 +93,9 @@ def test_curate_dedup_plan_is_partial_aggregated_not_window(spark):
     plan must contain NO Window operator (a window buffers every copy of
     a hot text in one task) and must aggregate in TWO phases — a partial
     aggregate below the exchange (map-side collapse of duplicate groups)
-    and a final above it. min_by's struct buffer plans as SortAggregate
-    (not HashAggregate) on Spark 4; the partial/final split, not the
-    aggregate flavor, is the scale property."""
+    and a final above it. The ordered-struct min buffer plans as
+    SortAggregate (not HashAggregate) on Spark 4; the partial/final
+    split, not the aggregate flavor, is the scale property."""
     import contextlib
     import io
     import re
@@ -113,4 +113,7 @@ def test_curate_dedup_plan_is_partial_aggregated_not_window(spark):
     assert "Window" not in tree
     aggs = re.findall(r"(?:Sort|Hash|ObjectHash)Aggregate \(\d+\)", tree)
     assert len(aggs) >= 2, f"expected partial+final aggregate, got {aggs}"
-    assert "min_by" in plan
+    # the first-wins is a declarative MIN aggregate over the ordered
+    # struct (r7: min(struct(order, payload)) — 2-3× cheaper than the
+    # r5 min_by on wide rows, same partial-aggregation skew-proofness)
+    assert re.search(r"\bmin\(", plan)
