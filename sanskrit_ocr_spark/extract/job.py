@@ -252,9 +252,17 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
     # first commit against an empty table: skip the anti-join outright —
     # the empty committed side is RDD-backed, so the optimizer cannot
     # prove it empty and would shuffle the full html payload for a
-    # vacuous join (r7; measured as one whole extra payload exchange)
-    todo = pages if recrawl or not ext.snapshot_id() else \
-        pages.join(ext.read(buckets=batch_bucket_ids).select("url"),
+    # vacuous join (r7; measured as one whole extra payload exchange).
+    # ``probe_sid`` pins the snapshot the probe sieves against: the
+    # probe's read resolves its immutable file list at THIS snapshot, so
+    # the extracted batch is certified free of keys committed as of it —
+    # merge_on_key(presieved_at=probe_sid) then skips its own redundant
+    # committed-side anti-join whenever it commits at that same snapshot
+    # (its CAS guarantees exactly that; a lost race falls back).
+    probe_sid = ext.snapshot_id()
+    todo = pages if recrawl or not probe_sid else \
+        pages.join(ext.read(probe_sid,
+                            buckets=batch_bucket_ids).select("url"),
                    "url", "left_anti")
     extracted = extract_pages(todo, salt_partitions=salt_partitions)
     if partitioned:
@@ -299,7 +307,8 @@ def run_extraction(spark: SparkSession, pages: DataFrame, root: str,
             sid, inserted = ext.merge_on_key(
                 extracted, "url", order_col="warc_ts",
                 prefilter_buckets=merge_prefilter_buckets,
-                bucket_ids=batch_bucket_ids)
+                bucket_ids=batch_bucket_ids,
+                presieved_at=probe_sid)
         audit = None
         if audit_max_fail_rate is not None or publish_branch is not None:
             tallies, rate = audit_tallies(extracted)

@@ -1274,7 +1274,8 @@ class IceliteTable:
                      order_col: str | None = None,
                      prefilter_buckets: int | None = None,
                      extra_meta: dict | None = None,
-                     bucket_ids: list[int] | None = None
+                     bucket_ids: list[int] | None = None,
+                     presieved_at: int | None = None
                      ) -> tuple[int, int]:
         """``MERGE INTO t USING df ON t.key = df.key WHEN NOT MATCHED THEN
         INSERT`` — the idempotent-resume checkpoint (north_rule; SURVEY.md J3).
@@ -1304,6 +1305,18 @@ class IceliteTable:
         of committed keys the extra distinct pass costs more than the
         shuffle it saves.
 
+        ``presieved_at`` (r7): the caller certifies ``df`` contains NO
+        key committed as of snapshot ``presieved_at`` (e.g. the resume
+        probe's anti-join already sieved the batch against that exact
+        snapshot). When the merge's captured parent IS that snapshot,
+        its own committed-side anti-join is a no-op by construction and
+        is skipped — one committed-key scan+join per merge saved; the
+        compare-and-swap commit at the captured parent guarantees no
+        concurrent commit slipped between the sieve and the manifest
+        create. A retry (parent moved) falls back to the full
+        anti-join, so the certificate is only ever used for the exact
+        snapshot it was issued against.
+
         Concurrency: on ``ConcurrentCommitError`` the merge retries from
         the NEW committed HEAD — the anti-join is re-derived against the
         winner's snapshot, so retried merges stay idempotent per key
@@ -1332,11 +1345,13 @@ class IceliteTable:
         for _ in range(3):
             parent = self.snapshot_id()
             parent_total = self._total_rows_at(parent)
-            if not parent:
-                # first commit: nothing committed, nothing to anti-join.
-                # The explicit skip matters because the empty read() is
-                # RDD-backed (the optimizer cannot constant-fold it away)
-                # and the vacuous join would shuffle the whole batch (r7)
+            if not parent or parent == presieved_at:
+                # first commit (nothing committed, nothing to anti-join;
+                # the explicit skip matters because the empty read() is
+                # RDD-backed — the optimizer cannot constant-fold it
+                # away and the vacuous join would shuffle the whole
+                # batch), or the caller pre-sieved the batch against
+                # exactly this snapshot (r7; see docstring)
                 fresh = df
             else:
                 existing = self.read(parent,

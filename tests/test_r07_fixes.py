@@ -144,3 +144,34 @@ def test_expire_older_than_naive_is_utc(spark, tmp_path):
         + dt.timedelta(days=1)
     expired = t.expire_snapshots(keep_last=1, older_than=future)
     assert expired == [1, 2]
+
+
+def test_merge_presieved_matches_full_antijoin(spark, tmp_path):
+    """merge_on_key(presieved_at=sid): skips the committed-side
+    anti-join only when committing at exactly that snapshot; a STALE
+    certificate (parent moved since the sieve) must fall back to the
+    full anti-join and keep key uniqueness."""
+    root = str(tmp_path / "t")
+    t = IceliteTable(spark, root, SCHEMA)
+    t.append(_df(spark, [("a", 1), ("b", 2)]))
+    sieved_at = t.snapshot_id()
+    # batch correctly sieved against sieved_at: no committed keys in it
+    batch = _df(spark, [("c", 3), ("d", 4)])
+    sid, ins = t.merge_on_key(batch, "k", order_col="v",
+                              presieved_at=sieved_at)
+    assert ins == 2
+    rows = {r["k"] for r in t.read().collect()}
+    assert rows == {"a", "b", "c", "d"}
+
+    # STALE certificate: another commit (adding "e") lands after the
+    # sieve; a batch sieved against the OLD snapshot may now carry a
+    # committed key ("e") — the merge must detect parent != presieved_at
+    # and anti-join it away
+    stale_sieve = t.snapshot_id()
+    t.append(_df(spark, [("e", 5)]))
+    batch2 = _df(spark, [("e", 99), ("f", 6)])
+    sid2, ins2 = t.merge_on_key(batch2, "k", order_col="v",
+                                presieved_at=stale_sieve)
+    assert ins2 == 1  # only "f"; "e" stays (5), no duplicate key
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5, "f": 6}
